@@ -1,0 +1,122 @@
+# -*- coding: utf-8 -*-
+"""Global configuration for ssqueezepy_tpu.
+
+TPU-native re-design of the reference's three-tier config system
+(`/root/reference/ssqueezepy/configs.py`, `configs.ini`): instead of an .ini
+file parsed at call time plus stack introspection (`gdefaults`,
+configs.py:27-124), defaults live in typed dataclasses, layered as
+
+    explicit kwargs  >  environment (``SSQTPU_*``)  >  built-in defaults
+
+Defaults themselves mirror the reference's `configs.ini` values
+(morlet mu=13.4, gmw gamma=3 beta=60 norm='bandpass', global dtype float32,
+log-piecewise downsample=4).
+"""
+import os
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass
+class WaveletDefaults:
+    """Per-wavelet default parameters (reference: configs.ini:5-31)."""
+    morlet: dict = field(default_factory=lambda: dict(mu=13.4))
+    bump: dict = field(default_factory=lambda: dict(mu=5.0, s=1.0, om=0.0))
+    cmhat: dict = field(default_factory=lambda: dict(mu=1.0, s=1.0))
+    hhhat: dict = field(default_factory=lambda: dict(mu=5.0))
+    gmw: dict = field(default_factory=lambda: dict(
+        gamma=3.0, beta=60.0, norm='bandpass', order=0, centered_scale=False))
+
+
+@dataclass
+class Config:
+    """Global defaults; access via `get_config()`, override via `configure()`
+    or env vars ``SSQTPU_DTYPE``, ``SSQTPU_DOWNSAMPLE``, ``SSQTPU_BACKEND``.
+    """
+    # global compute precision ('float32' | 'float64'); reference
+    # configs.ini:34-36 defaults float32
+    dtype: str = 'float32'
+    # log-piecewise scale downsampling factor (reference configs.ini:39-40)
+    downsample: int = 4
+    # execution backend: 'auto' resolves to jax.default_backend();
+    # 'cpu' forces the native-complex XLA path, 'tpu' forces split-complex
+    # matmul-FFT + Pallas kernels.
+    backend: str = 'auto'
+    # use Pallas kernels on TPU when available (vs pure-XLA fallbacks)
+    use_pallas: bool = True
+    wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
+
+
+_CONFIG = None
+
+
+def _from_env(cfg):
+    dtype = os.environ.get('SSQTPU_DTYPE')
+    if dtype:
+        cfg.dtype = dtype
+    ds = os.environ.get('SSQTPU_DOWNSAMPLE')
+    if ds:
+        cfg.downsample = int(ds)
+    backend = os.environ.get('SSQTPU_BACKEND')
+    if backend:
+        cfg.backend = backend
+    pallas = os.environ.get('SSQTPU_PALLAS')
+    if pallas is not None and pallas != '':
+        cfg.use_pallas = pallas not in ('0', 'false', 'False')
+    return cfg
+
+
+def get_config():
+    global _CONFIG
+    if _CONFIG is None:
+        _CONFIG = _from_env(Config())
+    return _CONFIG
+
+
+def configure(**kw):
+    """Override global defaults, e.g. ``configure(dtype='float64')``."""
+    cfg = get_config()
+    for k, v in kw.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown config field: {k}")
+        setattr(cfg, k, v)
+    return cfg
+
+
+def reset_config():
+    global _CONFIG
+    _CONFIG = None
+    return get_config()
+
+
+def backend():
+    """Resolved execution backend: 'tpu' (split-complex, matmul-FFT, Pallas)
+    or 'cpu' (native complex + XLA FFT). The CPU path doubles as the
+    correctness reference in tests (the reference library's serial-vs-parallel
+    -vs-GPU equality testing pattern, tests/fft_test.py).
+    """
+    cfg = get_config()
+    if cfg.backend != 'auto':
+        return cfg.backend
+    import jax
+    b = jax.default_backend()
+    # treat anything that isn't a plain CPU/GPU as the TPU path ('tpu', 'axon')
+    if b in ('cpu', 'gpu', 'cuda', 'rocm'):
+        return 'cpu'
+    return 'tpu'
+
+
+def default_dtype():
+    return get_config().dtype
+
+
+def gdefaults(section, **kw):
+    """Fill `None` kwargs from wavelet defaults table; analog of the
+    reference's `gdefaults` (configs.py:27) without stack introspection.
+    `section` is e.g. 'morlet', 'gmw'.
+    """
+    table = dataclasses.asdict(get_config().wavelets).get(section, {})
+    out = {}
+    for k, v in kw.items():
+        out[k] = table.get(k) if v is None else v
+    return out
