@@ -1,0 +1,361 @@
+# -*- coding: utf-8 -*-
+"""Continuous Wavelet Transform (forward & inverse), TPU-native.
+
+Behavioral reference: `/root/reference/ssqueezepy/_cwt.py` (cwt :12, icwt
+:323, cwt_higher_order :517). Architecture: instead of the reference's
+runtime numpy/torch dispatch, the transform is built as a *plan* — all
+data-independent bookkeeping (padding geometry, scales, wavelet config,
+admissibility constants) is resolved on host, and a pure function over the
+signal is jit-compiled once per (shape, dtype, plan) and cached. The
+filterbank is synthesized *inside* the jitted graph from wavelet parameters
+(cheaper than reading a cached (na, N) array from HBM at this device's
+bandwidth), the FFT convolution runs on the matmul FFT engine with
+negative-half pruning for analytic wavelets, and everything is
+split-complex.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.complexlib import Complex, as_complex
+from ..ops.fft import fft, ifft, fftshift
+from ..ops.pad import padsignal, pad_params
+from ..utils.common import WARN, p2up
+from ..utils.cwt_utils import (process_scales, logscale_transition_idx,
+                               adm_ssq, adm_cwt, _process_fs_and_t)
+from .wavelets import Wavelet, _xifn
+
+__all__ = ['cwt', 'icwt', 'cwt_higher_order']
+
+
+def _is_analytic(wavelet):
+    """True if the freq-domain wavelet is exactly zero for w < 0 (enables
+    negative-half FFT pruning)."""
+    name = getattr(wavelet.fn, 'qualname', '')
+    if name.startswith('gmw') or name in ('cmhat',):
+        return True
+    if name == 'hhhat':
+        return wavelet.config.get('mu', 5) >= 0
+    if name == 'bump':
+        mu, s = wavelet.config.get('mu', 5), wavelet.config.get('s', 1)
+        return mu - s * .999 >= 0
+    return False  # morlet & custom: only approximately analytic
+
+
+def _wavelet_key(wavelet):
+    cfg = tuple(sorted((k, str(v)) for k, v in wavelet.config.items()))
+    return (getattr(wavelet.fn, 'qualname', str(id(wavelet.fn))), cfg,
+            wavelet.dtype)
+
+
+def _process_gmw_wavelet(wavelet, l1_norm):
+    """Keep GMW norm consistent with `l1_norm` (reference _cwt.py:497-514).
+    """
+    norm = 'bandpass' if l1_norm else 'energy'
+    if isinstance(wavelet, str) and wavelet.lower()[:3] == 'gmw':
+        wavelet = ('gmw', {'norm': norm})
+    elif isinstance(wavelet, tuple) and wavelet[0].lower()[:3] == 'gmw':
+        name, wavopts = wavelet
+        wavopts = dict(wavopts)
+        wavopts['norm'] = wavopts.get('norm', norm)
+        wavelet = (name, wavopts)
+    elif isinstance(wavelet, Wavelet):
+        if wavelet.name == 'GMW L2' and l1_norm:
+            raise ValueError("using GMW L2 wavelet with `l1_norm=True`")
+        elif wavelet.name == 'GMW L1' and not l1_norm:
+            raise ValueError("using GMW L1 wavelet with `l1_norm=False`")
+    return wavelet
+
+
+# --------------------------------------------------------------------------
+# traceable core (used by cwt and fused into ssq_cwt's single jit)
+# --------------------------------------------------------------------------
+def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
+             rpadded=False, is_2d=False):
+    """Vectorized FFT-convolution CWT over padded input.
+
+    xp_pad: real (..., n_up) jnp array (padded signal)
+    scales_j: (na, 1) device array
+    Returns (Wx, dWx or None) as split-complex, unpadded unless rpadded.
+    Mirrors reference `_cwt._vectorized` (_cwt.py:167-177) + unpad/norm
+    (:293-311).
+    """
+    n_up = xp_pad.shape[-1]
+    dtype = str(xp_pad.dtype)
+    analytic = _is_analytic(wavelet)
+    prefix = n_up // 2 + 1 if analytic else None
+
+    xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1)
+    if is_2d:
+        xh = Complex(xh.re[:, None], xh.im[:, None])
+
+    xi = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))   # (n_up,)
+    w_grid = scales_j * xi                               # (na, n_up)
+    psih = wavelet.fn(w_grid, xp=jnp)
+    if isinstance(psih, tuple):                          # complex wavelet
+        psih = Complex(*psih)
+        psih = Complex(psih.re.at[..., n_up // 2].divide(2),
+                       psih.im.at[..., n_up // 2].divide(2)) \
+            if n_up % 2 == 0 else psih
+        Psih_xh = psih * xh
+    else:
+        if n_up % 2 == 0:
+            psih = psih.at[..., n_up // 2].divide(2)     # Nyquist halving
+        Psih_xh = Complex(psih * xh.re, psih * xh.im)
+
+    Wx = ifft(Psih_xh, axis=-1, nonzero_prefix=prefix)
+
+    dWx = None
+    if derivative:
+        # multiply by (1j * xi / dt): (re,im) -> (-im*xi/dt, re*xi/dt)
+        xi_dt = (xi / dt).astype(dtype)
+        dPsih = Complex(-Psih_xh.im * xi_dt, Psih_xh.re * xi_dt)
+        dWx = ifft(dPsih, axis=-1, nonzero_prefix=prefix)
+
+    if not rpadded:
+        Wx = Complex(Wx.re[..., n1:n1 + N], Wx.im[..., n1:n1 + N])
+        if derivative:
+            dWx = Complex(dWx.re[..., n1:n1 + N], dWx.im[..., n1:n1 + N])
+
+    if not l1_norm:
+        # L2 renorm: multiply rows by sqrt(scale) (reference _cwt.py:307-311)
+        s_sqrt = jnp.sqrt(scales_j).astype(dtype)
+        if is_2d:
+            s_sqrt = s_sqrt[None]
+        Wx = Complex(Wx.re * s_sqrt, Wx.im * s_sqrt)
+        if derivative:
+            dWx = Complex(dWx.re * s_sqrt, dWx.im * s_sqrt)
+    return Wx, dWx
+
+
+@functools.lru_cache(maxsize=64)
+def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
+             rpadded, is_2d, wavelet_ref):
+    """Cached jitted forward CWT; `wavelet_ref` is a weak holder tuple."""
+    wavelet = wavelet_ref[0]
+
+    def run(xp_pad, scales_j, dt):
+        return cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm,
+                        n1, N, rpadded, is_2d)
+    return jax.jit(run)
+
+
+# --------------------------------------------------------------------------
+# public API
+# --------------------------------------------------------------------------
+def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
+        l1_norm=True, derivative=False, padtype='reflect', rpadded=False,
+        vectorized=True, astensor=True, cache_wavelet=None, order=0,
+        average=None, nan_checks=None, patience=0):
+    """Continuous Wavelet Transform via frequency-domain convolution.
+
+    API-parity with reference `cwt` (_cwt.py:12-166); `vectorized`,
+    `cache_wavelet`, `patience`, `nan_checks` are accepted for
+    compatibility (execution is always vectorized & jit-cached; NaN/Inf
+    scrubbing is always fused into the graph — it's free on TPU).
+
+    Returns (Wx, scales[, dWx]); `astensor=True` returns split-complex
+    `Complex` device arrays, else numpy complex.
+    """
+    if isinstance(order, (tuple, list, range)) or order > 0:
+        kw = dict(wavelet=wavelet, scales=scales, fs=fs, t=t, nv=nv,
+                  l1_norm=l1_norm, derivative=derivative, padtype=padtype,
+                  rpadded=rpadded)
+        return cwt_higher_order(x, order=order, average=average,
+                                astensor=astensor, **kw)
+
+    xnp = np.asarray(x) if not isinstance(x, (jnp.ndarray, jax.Array)) \
+        else x
+    if xnp.ndim not in (1, 2):
+        raise ValueError("`x` must be 1D or 2D (got x.ndim == %s)"
+                         % xnp.ndim)
+    is_2d = (xnp.ndim == 2)
+    N = xnp.shape[-1]
+    dt, fs_, _ = _process_fs_and_t(fs, t, N)
+
+    wavelet = _process_gmw_wavelet(wavelet, l1_norm)
+    wavelet = Wavelet._init_if_not_isinstance(wavelet)
+    dtype = wavelet.dtype
+
+    scales_np = process_scales(scales, N, wavelet, nv=nv)
+
+    if padtype is not None:
+        n_up, n1, _ = pad_params(N, padtype)
+    else:
+        n_up, n1 = N, 0
+
+    # device-side: pad (cheap) then run the cached jitted core
+    xj = jnp.asarray(xnp, dtype=dtype)
+    xj = jnp.where(jnp.isfinite(xj), xj, 0)  # nan/inf scrub (fused)
+    xp_pad = padsignal(xj, padtype) if padtype is not None else xj
+
+    runner = _cwt_jit(_wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N,
+                      bool(derivative), bool(l1_norm), bool(rpadded), is_2d,
+                      (wavelet,))
+    scales_j = jnp.asarray(scales_np, dtype=dtype)
+    Wx, dWx = runner(xp_pad, scales_j, np.asarray(dt, dtype))
+
+    scales_out = scales_np.squeeze()
+    if not astensor:
+        Wx = Wx.to_numpy()
+        dWx = dWx.to_numpy() if dWx is not None else None
+    return ((Wx, scales_out, dWx) if derivative else (Wx, scales_out))
+
+
+def icwt(Wx, wavelet='gmw', scales='log-piecewise', nv=None, one_int=True,
+         x_len=None, x_mean=0, padtype='reflect', rpadded=False,
+         l1_norm=True):
+    """Inverse CWT via one-integral (analytic wavelets) or double-integral
+    formula. Parity: reference `icwt` (_cwt.py:323-453), including the
+    recursive log-piecewise split (:422-429) and admissibility scaling
+    (:441-450)."""
+    Wx = as_complex(Wx) if not isinstance(Wx, np.ndarray) else Wx
+    if isinstance(Wx, Complex):
+        Wx = Wx.to_numpy()
+
+    *_, na, n = Wx.shape
+    x_len = x_len or n
+    if not isinstance(scales, np.ndarray) and nv is None:
+        nv = 32
+
+    wavelet = _process_gmw_wavelet(wavelet, l1_norm)
+    wavelet = Wavelet._init_if_not_isinstance(wavelet)
+    scales, scaletype, _, nv = process_scales(scales, x_len, wavelet, nv=nv,
+                                              get_params=True)
+    assert (len(scales) == na), "%s != %s" % (len(scales), na)
+
+    if scaletype == 'log-piecewise':
+        kw = dict(wavelet=wavelet, one_int=one_int, x_len=x_len,
+                  x_mean=x_mean, padtype=padtype, rpadded=rpadded,
+                  l1_norm=l1_norm)
+        idx = logscale_transition_idx(scales)
+        x = icwt(Wx[..., :idx, :], scales=scales[:idx], **kw)
+        x += icwt(Wx[..., idx:, :], scales=scales[idx:], **kw)
+        return x
+
+    if one_int:
+        x = _icwt_1int(Wx, scales, scaletype, l1_norm)
+    else:
+        if Wx.ndim == 3:
+            raise NotImplementedError("batched `Wx` requires "
+                                      "`one_int=True`.")
+        x = _icwt_2int(Wx, scales, scaletype, l1_norm, wavelet, x_len,
+                       padtype, rpadded)
+
+    Cpsi = (adm_ssq(wavelet) if one_int else adm_cwt(wavelet))
+    if scaletype == 'log':
+        # ln(2**(1/nv)) == ln(2)/nv == diff(ln(scales))[0]
+        x *= (2 / Cpsi) * np.log(2 ** (1 / nv))
+    else:
+        x *= (2 / Cpsi) * np.pi / 4
+
+    x += x_mean
+    return x
+
+
+def _icwt_norm(scaletype, l1_norm):
+    if l1_norm:
+        return ((lambda scale: 1) if scaletype == 'log' else
+                (lambda scale: scale))
+    if scaletype == 'log':
+        return lambda scale: scale ** .5
+    return lambda scale: scale ** 1.5
+
+
+def _icwt_1int(Wx, scales, scaletype, l1_norm):
+    """One-integral iCWT: sum of Re(Wx)/norm over scales
+    (reference _cwt.py:479-482)."""
+    norm = _icwt_norm(scaletype, l1_norm)
+    return (Wx.real / norm(scales)).sum(axis=-2)
+
+
+def _icwt_2int(Wx, scales, scaletype, l1_norm, wavelet, x_len,
+               padtype='zero', rpadded=False):
+    """Double-integral iCWT: per-scale FFT-deconvolution
+    (reference _cwt.py:456-476); host-side numpy."""
+    from ..ops import fft as F
+    if not rpadded:
+        from ..ops.pad import padsignal_np
+        Wx, n_up, n1, _ = padsignal_np(Wx, padtype or 'zero',
+                                       get_params=True)
+    else:
+        n_up = Wx.shape[-1]
+        n1 = 0
+
+    norm = _icwt_norm(scaletype, l1_norm)
+    pn = (-1) ** np.arange(n_up)
+    x = np.zeros(n_up)
+
+    for scale, Wx_scale in zip(scales, Wx):
+        psih = wavelet.filterbank_np(np.atleast_1d(np.float64(scale)),
+                                     N=n_up, nohalf=True)[0] * pn
+        xa = np.fft.ifftshift(np.fft.ifft(np.fft.fft(Wx_scale) * psih))
+        x += xa.real / norm(float(scale))
+
+    return x[n1:n1 + x_len]
+
+
+def cwt_higher_order(x, wavelet='gmw', order=1, average=None, astensor=True,
+                     **kw):
+    """CWT with higher-order GMWs (orders 0..k orthogonal family),
+    optionally averaged for noise robustness. Parity: reference
+    `cwt_higher_order` (_cwt.py:517-610)."""
+    def _process_args(wavelet, order, average):
+        if isinstance(order, (list, range)):
+            order = tuple(order)
+        if not isinstance(order, tuple):
+            order = (order,)
+            if average:
+                WARN("`average` ignored with single `order`")
+                average = False
+        wavelet_ = Wavelet._init_if_not_isinstance(wavelet)
+        if not wavelet_.name.lower().startswith('gmw'):
+            raise ValueError("`wavelet` must be GMW for higher-order "
+                             "transforms (got %s)" % wavelet_.name)
+        wavopts = dict(wavelet_.config)
+        wavopts.pop('order', None)
+        wavelets = [Wavelet(('gmw', dict(order=k, **wavopts)))
+                    for k in order]
+        return wavelets, wavopts, order, average
+
+    wavelets, wavopts, order, average = _process_args(wavelet, order,
+                                                      average)
+
+    scales = kw.pop('scales', 'log-piecewise')
+    if isinstance(scales, str):
+        wav0 = Wavelet(('gmw', dict(order=0, **wavopts)))
+        scales = process_scales(scales, x.shape[-1], wavelet=wav0,
+                                nv=kw.get('nv', 32))
+    kw['scales'] = scales
+
+    derivative = kw.get('derivative', False)
+    Wx_all, dWx_all = [], []
+    for wav in wavelets:
+        out = cwt(x, wav, order=0, astensor=True, **kw)
+        Wx_all.append(out[0])
+        if derivative:
+            dWx_all.append(out[-1])
+
+    if average or (average is None and len(order) > 1):
+        Wx_all = Complex(jnp.mean(jnp.stack([w.re for w in Wx_all]), 0),
+                         jnp.mean(jnp.stack([w.im for w in Wx_all]), 0))
+        if derivative:
+            dWx_all = Complex(
+                jnp.mean(jnp.stack([w.re for w in dWx_all]), 0),
+                jnp.mean(jnp.stack([w.im for w in dWx_all]), 0))
+    elif len(Wx_all) == 1:
+        Wx_all = Wx_all[0]
+        if derivative:
+            dWx_all = dWx_all[0]
+
+    scales_out = np.asarray(scales).squeeze()
+    if not astensor:
+        conv = (lambda W: W.to_numpy() if isinstance(W, Complex) else
+                [g.to_numpy() for g in W])
+        Wx_all = conv(Wx_all)
+        if derivative:
+            dWx_all = conv(dWx_all)
+    return ((Wx_all, scales_out, dWx_all) if derivative else
+            (Wx_all, scales_out))

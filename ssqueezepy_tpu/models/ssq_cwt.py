@@ -1,0 +1,293 @@
+# -*- coding: utf-8 -*-
+"""Synchrosqueezed CWT (forward & inverse) — the flagship transform.
+
+Behavioral reference: `/root/reference/ssqueezepy/_ssq_cwt.py` (ssq_cwt
+:12, issq_cwt :313, _invert_components :381, phase transforms :420-589).
+TPU-native architecture: the full forward path — padding, filterbank
+synthesis, FFT convolution (matmul FFT engine), frequency-domain
+derivative, phase transform, and the reassignment scatter — is fused into
+ONE jit-compiled program per plan; all scale/frequency bookkeeping is
+resolved on host at plan time.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.complexlib import Complex, as_complex
+from ..ops.pad import padsignal, pad_params
+from ..ops.phase import phase_cwt, phase_cwt_num
+from ..ops.ssq_kernels import ssqueeze_fast, indexed_sum_onfly, \
+    ssq_bin_params
+from ..ops.diff import trigdiff
+from ..utils.common import EPS32, EPS64, p2up
+from ..utils.cwt_utils import (process_scales, adm_ssq, _process_fs_and_t)
+from .wavelets import Wavelet
+from .cwt import cwt, cwt_core, _process_gmw_wavelet, _wavelet_key
+from .ssqueezing import (ssqueeze, _check_ssqueezing_args,
+                         _compute_associated_frequencies, _natural_bins)
+
+__all__ = ['ssq_cwt', 'issq_cwt']
+
+
+@functools.lru_cache(maxsize=32)
+def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
+                 flipud, squeezing, param_items, gamma, Sfs_none,
+                 natural_key, wavelet_ref, const_key):
+    """Cached fused jit: padded signal -> (Tx, Wx, dWx)."""
+    wavelet = wavelet_ref[0]
+    params = dict(param_items)
+    natural_bins = np.asarray(natural_key, np.int32) if natural_key \
+        else None
+
+    def run(xp_pad, scales_j, dt, const):
+        Wx, dWx = cwt_core(xp_pad, wavelet, scales_j, dt, True, l1_norm,
+                           n1, N, rpadded=False, is_2d=is_2d)
+        Wx_s = _apply_squeezing(Wx, squeezing)
+        Tx = ssqueeze_fast(Wx_s, dWx, None, const,
+                           logscale=params['mode'] != 'lin',
+                           flipud=flipud, gamma=gamma, Sfs=None,
+                           params=params, natural_bins=natural_bins)
+        return Tx, Wx, dWx
+    return jax.jit(run)
+
+
+def _apply_squeezing(Wx, squeezing):
+    if squeezing == 'sum' or squeezing is None:
+        return Wx
+    if squeezing == 'lebesgue':
+        ones = jnp.ones(Wx.shape, Wx.dtype) / Wx.shape[-2]
+        return Complex(ones, jnp.zeros_like(ones))
+    if squeezing == 'abs':
+        return Complex(Wx.abs(), jnp.zeros_like(Wx.re))
+    return as_complex(squeezing(Wx))
+
+
+def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
+            t=None, ssq_freqs=None, padtype='reflect', squeezing='sum',
+            maprange='peak', difftype='trig', difforder=None, gamma=None,
+            vectorized=True, preserve_transform=None, astensor=True,
+            order=0, nan_checks=None, patience=0, flipud=True,
+            cache_wavelet=None, get_w=False, get_dWx=False):
+    """Synchrosqueezed Continuous Wavelet Transform.
+
+    API parity with reference `ssq_cwt` (_ssq_cwt.py:12-310). Returns
+    (Tx, Wx, ssq_freqs, scales[, w][, dWx]). With `astensor=True` complex
+    outputs are split-complex `Complex` device arrays; else numpy complex.
+    """
+    xnp = np.asarray(x) if isinstance(x, (list, np.ndarray)) else x
+    if xnp.ndim == 2 and get_w:
+        raise NotImplementedError("`get_w=True` unsupported with batched "
+                                  "input.")
+    difforder = _check_ssqueezing_args(squeezing, maprange, wavelet,
+                                       difftype, difforder, get_w,
+                                       transform='cwt')
+    if nv is None and not isinstance(scales, np.ndarray):
+        nv = 32
+    N = xnp.shape[-1]
+    dt, fs_, _ = _process_fs_and_t(fs, t, N)
+    is_2d = (xnp.ndim == 2)
+
+    wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
+    wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
+    dtype = wavelet.dtype
+
+    scales_np, cwt_scaletype, _, nv_ = process_scales(
+        scales, N, wavelet, nv=nv, get_params=True)
+
+    # gamma default: 10 * machine epsilon (reference _ssq_cwt.py:266-267)
+    if gamma is None:
+        gamma = 10 * (EPS64 if dtype == 'float64' else EPS32)
+    gamma = float(gamma)
+
+    # ssq frequency grid (host)
+    was_padded = bool(padtype is not None)
+    if ssq_freqs is None:
+        ssq_freqs = cwt_scaletype
+    if not isinstance(ssq_freqs, np.ndarray):
+        ssq_scaletype = ssq_freqs if isinstance(ssq_freqs, str) \
+            else cwt_scaletype
+        if ((maprange == 'maximal' or isinstance(maprange, tuple)) and
+                ssq_scaletype == 'log-piecewise'):
+            raise ValueError("can't have `ssq_scaletype = log-piecewise` "
+                             "with `maprange = 'maximal'`")
+        ssq_freqs = _compute_associated_frequencies(
+            scales_np, N, wavelet, ssq_scaletype, maprange, was_padded, dt,
+            'cwt')
+    else:
+        from ..utils.cwt_utils import infer_scaletype
+        ssq_scaletype, _ = infer_scaletype(ssq_freqs)
+
+    # squeeze constant (reference ssqueezing.py:124-132)
+    if cwt_scaletype.startswith('log'):
+        const = np.log(2) / nv_
+    else:
+        const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()
+
+    logscale = ssq_scaletype.startswith('log')
+    params = ssq_bin_params(ssq_freqs, logscale)
+    natural = _natural_bins('cwt', scales_np, ssq_freqs, params, flipud,
+                            len(scales_np), dt)
+
+    # higher-order / explicit-w paths take the compositional (slower) route
+    if (isinstance(order, (tuple, list, range)) or order > 0 or get_w or
+            difftype != 'trig'):
+        return _ssq_cwt_compositional(
+            xnp, wavelet, scales_np, cwt_scaletype, nv_, fs_, dt, ssq_freqs,
+            padtype, squeezing, maprange, difftype, difforder, gamma,
+            preserve_transform, astensor, order, flipud, get_w, get_dWx,
+            const, params, natural, logscale, is_2d, N)
+
+    # ---- fused fast path --------------------------------------------------
+    if padtype is not None:
+        n_up, n1, _ = pad_params(N, padtype)
+    else:
+        n_up, n1 = N, 0
+
+    xj = jnp.asarray(xnp, dtype=dtype)
+    xj = jnp.where(jnp.isfinite(xj), xj, 0)
+    xp_pad = padsignal(xj, padtype) if padtype is not None else xj
+
+    runner = _ssq_cwt_jit(
+        _wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N, True, is_2d,
+        bool(flipud), squeezing if isinstance(squeezing, str) else None,
+        tuple(sorted(params.items())), gamma, True,
+        tuple(natural.tolist()) if natural is not None else None,
+        (wavelet,), str(np.asarray(const).shape))
+    scales_j = jnp.asarray(scales_np, dtype=dtype)
+    const_j = jnp.asarray(np.asarray(const, dtype), dtype=dtype)
+    Tx, Wx, dWx = runner(xp_pad, scales_j, np.asarray(dt, dtype), const_j)
+
+    # for CWT, ssq_freqs are always returned reversed (reference
+    # ssqueezing.py:217-222: flips when `(cwt and not flipud) or flipud`)
+    ssq_freqs_out = ssq_freqs[::-1].copy()
+
+    scales_out = scales_np.squeeze()
+    if not astensor:
+        Tx = Tx.to_numpy()
+        Wx = Wx.to_numpy()
+        dWx = dWx.to_numpy() if dWx is not None else None
+    if get_dWx:
+        return Tx, Wx, ssq_freqs_out, scales_out, dWx
+    return Tx, Wx, ssq_freqs_out, scales_out
+
+
+def _ssq_cwt_compositional(xnp, wavelet, scales_np, cwt_scaletype, nv, fs,
+                           dt, ssq_freqs, padtype, squeezing, maprange,
+                           difftype, difforder, gamma, preserve_transform,
+                           astensor, order, flipud, get_w, get_dWx, const,
+                           params, natural, logscale, is_2d, N):
+    """Slower compositional path for higher-order CWT / explicit phase
+    transform (difftype != 'trig' or get_w=True); mirrors reference
+    _ssq_cwt.py:228-310."""
+    if isinstance(order, (tuple, list, range)) or order > 0:
+        kw = dict(wavelet=wavelet, scales=scales_np, fs=fs, nv=nv,
+                  l1_norm=True, derivative=False, padtype=padtype,
+                  rpadded=True, astensor=True)
+        _, n1, _ = p2up(N)
+        average = isinstance(order, (tuple, list, range))
+        Wx, _ = cwt(xnp, order=order, average=average, **kw)
+        dWx = trigdiff(Wx, fs, rpadded=True, N=N, n1=n1)
+        Wx = Wx[..., n1:n1 + N]
+    else:
+        rpadded = (difftype == 'numeric')
+        Wx, _, dWx = cwt(xnp, wavelet, scales=scales_np, fs=fs, nv=nv,
+                         l1_norm=True, derivative=True, padtype=padtype,
+                         rpadded=rpadded, astensor=True)
+
+    w = None
+    if get_w:
+        if difftype == 'trig':
+            w = phase_cwt(Wx, dWx, 'trig', gamma)
+        elif difftype == 'phase':
+            w = phase_cwt(Wx, None, 'phase', gamma)
+        else:  # numeric
+            _, n1, _ = p2up(N)
+            Wx = Wx[..., (n1 - 4):(n1 + N + 4)]
+            w = phase_cwt_num(Wx, dt, difforder, gamma)
+        _dWx = None
+    else:
+        _dWx = dWx
+
+    Wx_s = _apply_squeezing(Wx, squeezing if isinstance(squeezing, str)
+                            else squeezing)
+    if w is None:
+        Tx = ssqueeze_fast(Wx_s, _dWx, None, const, logscale, flipud,
+                           gamma, params=params, natural_bins=natural)
+    else:
+        Tx = indexed_sum_onfly(Wx_s, w, None, const, logscale, flipud,
+                               params=params, natural_bins=natural)
+
+    if difftype == 'numeric':
+        Wx = Wx[..., 4:-4]
+        Tx = Tx[..., 4:-4]
+        w = w[..., 4:-4] if w is not None else None
+
+    ssq_freqs_out = np.asarray(ssq_freqs)[::-1].copy()
+    scales_out = np.asarray(scales_np).squeeze()
+
+    if not astensor:
+        Tx = Tx.to_numpy() if isinstance(Tx, Complex) else Tx
+        Wx = Wx.to_numpy() if isinstance(Wx, Complex) else Wx
+        dWx = dWx.to_numpy() if isinstance(dWx, Complex) else dWx
+        w = np.asarray(w) if w is not None else None
+
+    out = [Tx, Wx, ssq_freqs_out, scales_out]
+    if get_w:
+        out.append(w)
+    if get_dWx:
+        out.append(dWx)
+    return tuple(out)
+
+
+def issq_cwt(Tx, wavelet='gmw', cc=None, cw=None):
+    """Inverse synchrosqueezed CWT: full inversion
+    ``x = Re(sum(Tx, axis=0)) * 2/Css`` or masked per-component inversion.
+    Reference _ssq_cwt.py:313-417."""
+    if isinstance(Tx, Complex):
+        Tx = Tx.to_numpy()
+    Tx = np.asarray(Tx)
+
+    cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
+    if full_inverse:
+        x = Tx.real.sum(axis=-2)
+    else:
+        x = _invert_components(Tx, cc, cw)
+
+    wavelet = Wavelet._init_if_not_isinstance(wavelet)
+    Css = adm_ssq(wavelet)
+    x *= (2 / Css)
+    return x
+
+
+def _invert_components(Tx, cc, cw):
+    """Masked inversion around per-time curve centers cc +- widths cw;
+    last row of output = residual (reference _ssq_cwt.py:381-403)."""
+    x = np.zeros((cc.shape[1] + 1, cc.shape[0]))
+    TxRemainder = Tx.copy()
+
+    for n in range(cc.shape[1]):
+        TxMask = np.zeros(Tx.shape, dtype=Tx.dtype)
+        upper_cc = np.clip(cc[:, n] + cw[:, n], 0, len(Tx))
+        lower_cc = np.clip(cc[:, n] - cw[:, n], 0, len(Tx))
+        upper_cc[np.where(cc[:, n] == -1)] = 0
+        lower_cc[np.where(cc[:, n] == -1)] = 1
+        for m in range(Tx.shape[1]):
+            idxs = slice(lower_cc[m], upper_cc[m] + 1)
+            TxMask[idxs, m] = Tx[idxs, m]
+            TxRemainder[idxs, m] = 0
+        x[n] = TxMask.real.sum(axis=0).T
+
+    x[-1] = TxRemainder.real.sum(axis=0).T
+    return x
+
+
+def _process_component_inversion_args(cc, cw):
+    if (cc is None) and (cw is None):
+        return cc, cw, True
+    if cc.ndim == 1:
+        cc = cc.reshape(-1, 1)
+    if cw.ndim == 1:
+        cw = cw.reshape(-1, 1)
+    return cc.astype('int32'), cw.astype('int32'), False
