@@ -1,0 +1,65 @@
+# -*- coding: utf-8 -*-
+"""ssqueezepy_tpu — TPU-native synchrosqueezing & time-frequency engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capability set of
+`ssqueezepy` (reference mounted at /root/reference): forward/inverse CWT
+and STFT, their synchrosqueezed variants, Generalized Morse Wavelets
+(incl. higher-order), adaptive scale selection, phase transforms, ridge
+extraction, test signals, and visualization — built TPU-first:
+
+  * split-complex arithmetic end to end (the TPU backend has no complex
+    dtypes),
+  * an MXU matmul-based mixed-radix FFT engine (no FFT primitive exists on
+    this backend),
+  * fused phase-transform + reassignment kernels (XLA scatter on CPU, a
+    shift-scatter Pallas kernel on TPU),
+  * plan-based jit caching: all scale/frequency bookkeeping runs once on
+    host, the signal path compiles to a single XLA program,
+  * multi-chip scaling via `jax.sharding` mesh over batch/scale axes
+    (`ssqueezepy_tpu.parallel`).
+"""
+
+__version__ = '0.1.0'
+__title__ = 'ssqueezepy_tpu'
+
+from .configs import configure, get_config, backend
+from .ops.complexlib import Complex, as_complex
+from .ops.fft import (fft, ifft, rfft, irfft, fftshift, ifftshift,
+                      fft_matmul, ifft_matmul, FFT, FFT_GLOBAL)
+from .ops.phase import phase_cwt, phase_stft, phase_cwt_num
+from .ops.ssq_kernels import (ssqueeze_fast, indexed_sum_onfly,
+                              indexed_sum, find_closest)
+from .ops.framing import (buffer, unbuffer, window_norm, window_resolution,
+                          window_area)
+from .ops.pad import padsignal
+from .ops.diff import trigdiff
+
+from .models.wavelets import (Wavelet, morlet, bump, cmhat, hhhat,
+                              center_frequency, freq_resolution,
+                              time_resolution)
+from .models.gmw import gmw, compute_gmw, morsewave, morsefreq
+from .models.cwt import cwt, icwt, cwt_higher_order
+from .models.stft import stft, istft
+from .models.windows import get_window
+from .models.ssqueezing import ssqueeze
+from .models.ssq_cwt import ssq_cwt, issq_cwt
+from .models.ssq_stft import ssq_stft, issq_stft
+from .models.ridge_extraction import extract_ridges
+from .models.test_signals import TestSignals
+
+from .utils.common import (WARN, NOTE, EPS32, EPS64, pi, p2up, mad,
+                           est_riskshrink_thresh)
+from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
+                              adm_ssq, adm_cwt, infer_scaletype,
+                              logscale_transition_idx)
+
+from . import configs
+from . import toolkit
+from . import experimental
+from . import visuals
+from . import parallel
+
+
+def wavs():
+    """Names of supported wavelets (reference __init__.py:84)."""
+    return Wavelet.SUPPORTED

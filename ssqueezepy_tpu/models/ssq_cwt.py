@@ -119,8 +119,16 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         from ..utils.cwt_utils import infer_scaletype
         ssq_scaletype, _ = infer_scaletype(ssq_freqs)
 
-    # squeeze constant (reference ssqueezing.py:124-132)
-    if cwt_scaletype.startswith('log'):
+    # squeeze constant (reference ssqueezing.py:124-132). For
+    # log-piecewise scales `nv` is a per-row array (downsampled high
+    # scales carry 1/downsample the voices -> 4x the weight), via
+    # re-inference from the scales array as the reference does by
+    # re-processing scales inside `ssqueeze` (ssqueezing.py:169).
+    if cwt_scaletype == 'log-piecewise':
+        from ..utils.cwt_utils import nv_from_scales
+        nv_arr = nv_from_scales(scales_np)
+        const = np.log(2) / nv_arr
+    elif cwt_scaletype.startswith('log'):
         const = np.log(2) / nv_
     else:
         const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()

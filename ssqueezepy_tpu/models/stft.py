@@ -1,0 +1,127 @@
+# -*- coding: utf-8 -*-
+"""Short-Time Fourier Transform (forward & inverse), TPU-native.
+
+Behavioral reference: `/root/reference/ssqueezepy/_stft.py` (stft :13,
+istft :184) and `utils/stft_utils.py` (buffer/unbuffer/window_norm).
+
+Execution design: frames are strided-gather patches (XLA) DFT'd along the
+frame axis by the matmul FFT engine — the frame axis becomes an MXU
+contraction, so the whole `stft` is one fused jit per plan. The
+'modulated' variant (window-centered DFT cisoids, essential for
+synchrosqueezing invertibility — reference _stft.py:84-96) is a circular
+frame roll + ifftshift'd window, exactly as the reference computes it.
+Inverse uses irfft + a skew-reshape overlap-add (ops/framing.py).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.complexlib import Complex, as_complex
+from ..ops.fft import rfft, irfft, fftshift, ifftshift
+from ..ops.framing import buffer, window_norm, unbuffer
+from ..ops.pad import padsignal, pad_params
+from ..utils.common import WARN
+from ..utils.cwt_utils import _process_fs_and_t
+from ..configs import default_dtype
+from .windows import get_window, _check_NOLA
+
+__all__ = ['stft', 'istft']
+
+
+@functools.lru_cache(maxsize=32)
+def _stft_jit(shape, dtype, n_fft, hop_len, n1, modulated, derivative,
+              is_2d, win_key):
+    window, diff_window = _WINDOW_CACHE[win_key]
+    win_j = jnp.asarray(window)
+    dwin_j = jnp.asarray(diff_window) if diff_window is not None else None
+
+    def run(xp_pad, fs):
+        Sxb = buffer(xp_pad, n_fft, n_fft - hop_len, modulated)
+        w = ifftshift(win_j) if modulated else win_j
+        reshape = (-1, 1) if not is_2d else (1, -1, 1)
+        Sx = Sxb * w.reshape(reshape)
+        axis = 0 if not is_2d else 1
+        out_Sx = rfft(Sx, axis=axis)
+        out_dSx = None
+        if derivative:
+            dw = (ifftshift(dwin_j) if modulated else dwin_j) * fs
+            dSx = Sxb * dw.reshape(reshape)
+            out_dSx = rfft(dSx, axis=axis)
+        return out_Sx, out_dSx
+    return jax.jit(run)
+
+
+_WINDOW_CACHE = {}
+
+
+def _window_key(window, diff_window):
+    key = (hash(window.tobytes()),
+           hash(diff_window.tobytes()) if diff_window is not None else None)
+    _WINDOW_CACHE[key] = (window, diff_window)
+    return key
+
+
+def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
+         t=None, padtype='reflect', modulated=True, derivative=False,
+         dtype=None):
+    """Short-Time Fourier Transform; API parity with reference `stft`
+    (_stft.py:13-181). Returns `Sx` (+`dSx` if `derivative`), rows =
+    positive frequencies (rfft), columns = hops."""
+    xnp = np.asarray(x) if not isinstance(x, jax.Array) else x
+    assert xnp.ndim in (1, 2)
+    is_2d = (xnp.ndim == 2)
+    N = xnp.shape[-1]
+    _, fs_, _ = _process_fs_and_t(fs, t, N)
+    n_fft = int(n_fft or min(N // hop_len, 512))
+
+    if win_len is None:
+        win_len = (len(window) if isinstance(window, np.ndarray) else n_fft)
+    dtype = dtype or default_dtype()
+    window, diff_window = get_window(window, win_len, n_fft,
+                                     derivative=True, dtype=dtype)
+    _check_NOLA(window, hop_len, dtype)
+
+    padlength = N + n_fft - 1
+    xj = jnp.asarray(xnp, dtype=dtype)
+    xp = padsignal(xj, padtype, padlength=padlength)
+
+    runner = _stft_jit(xnp.shape, dtype, n_fft, int(hop_len), 0,
+                       bool(modulated), bool(derivative), is_2d,
+                       _window_key(window, diff_window if derivative
+                                   else None))
+    Sx, dSx = runner(xp, np.asarray(fs_, dtype))
+    return (Sx, dSx) if derivative else Sx
+
+
+def istft(Sx, window=None, n_fft=None, win_len=None, hop_len=1, N=None,
+          modulated=True, win_exp=1):
+    """Inverse STFT via Griffin-Lim least-squares overlap-add
+    (reference _stft.py:184-256)."""
+    Sx = as_complex(Sx)
+    n_fft = int(n_fft or (Sx.shape[0] - 1) * 2)
+    win_len = win_len or n_fft
+    N_ = N or hop_len * Sx.shape[1]
+    dtype = 'float32' if str(Sx.dtype) == 'float32' else 'float64'
+
+    window = get_window(window, win_len, n_fft=n_fft, dtype=dtype)
+    _check_NOLA(window, hop_len, dtype=dtype)
+
+    xbuf = irfft(Sx, n=n_fft, axis=0)
+    if modulated:
+        xbuf = fftshift(xbuf, axes=0)
+    xbuf = np.asarray(xbuf)
+
+    # overlap-add the columns (host; window_norm is plan-time static)
+    x = unbuffer(xbuf, window, hop_len, n_fft, N_, win_exp)
+
+    wn = window_norm(window, hop_len, n_fft, N_, win_exp)
+    th = np.finfo(x.dtype).tiny
+    if wn.min() < th:
+        nz = wn > th
+        x[nz] /= wn[nz]
+    else:
+        x /= wn
+
+    return x[n_fft // 2: -((n_fft - 1) // 2)]

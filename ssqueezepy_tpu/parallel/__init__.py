@@ -1,0 +1,15 @@
+# -*- coding: utf-8 -*-
+"""Multi-chip parallel execution (mesh/sharding layer).
+
+The reference library is strictly single-node (SURVEY.md §2.9) — this
+layer is designed fresh for TPU: a `jax.sharding.Mesh` over
+('batch', 'scale') axes, with the CWT filterbank rows (scales) and input
+signals (batch) sharded across chips; the synchrosqueezing bin reduction
+is a `psum` over the scale axis, and `icwt`'s scale sum likewise.
+"""
+from .mesh import make_mesh, mesh_info
+from .sharded import (sharded_ssq_cwt, sharded_cwt, ShardedSSQCWT,
+                      dryrun_multichip)
+
+__all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
+           'ShardedSSQCWT', 'dryrun_multichip']

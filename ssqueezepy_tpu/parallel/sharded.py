@@ -1,0 +1,260 @@
+# -*- coding: utf-8 -*-
+"""Sharded (multi-chip) CWT / synchrosqueezed CWT.
+
+Designed fresh for TPU (the reference has no distributed code —
+SURVEY.md §2.9 P6): the transform is expressed once with `shard_map` over a
+('batch', 'scale') `Mesh`:
+
+  * 'batch' — data parallelism over independent signals (P2 analog),
+  * 'scale' — tensor parallelism over filterbank rows (P1 analog): each
+    chip synthesizes its own block of frequency-domain wavelets, runs its
+    block of the batched matmul-IFFT, and scatter-adds its partial Tx over
+    the FULL frequency-bin space; a single `psum` over 'scale' completes
+    the synchrosqueezing bin reduction (the only cross-chip communication
+    in the forward pass — the phase transform and reassignment are
+    pointwise in time, SURVEY.md §5.7).
+
+`icwt`'s scale sum is the same psum. Collectives ride ICI; no
+host-side gathers occur until the caller materializes results.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.complexlib import Complex
+from ..ops.pad import padsignal, pad_params
+from ..ops.ssq_kernels import ssq_bin_params, compute_bins, _scatter_xla
+from ..ops.phase import _imag_ratio_over_2pi
+from ..utils.common import EPS32, EPS64
+from ..utils.cwt_utils import process_scales
+from ..models.wavelets import Wavelet, _xifn
+from ..models.cwt import cwt_core, _process_gmw_wavelet
+from ..models.ssqueezing import _compute_associated_frequencies
+from .mesh import make_mesh
+
+__all__ = ['sharded_cwt', 'sharded_ssq_cwt', 'ShardedSSQCWT',
+           'dryrun_multichip']
+
+
+def _pad_scales(scales_np, const_np, n_shards):
+    """Pad scale rows to a multiple of the scale-axis size; padded rows get
+    const=0 so they contribute nothing to Tx."""
+    na = len(scales_np)
+    na_pad = -(-na // n_shards) * n_shards
+    pad = na_pad - na
+    scales_p = np.concatenate([scales_np,
+                               np.repeat(scales_np[-1:], pad, 0)])
+    const_p = np.asarray(const_np, np.float64).squeeze()
+    if const_p.ndim == 0:
+        const_p = np.full(na, const_p)
+    const_p = np.concatenate([const_p, np.zeros(pad)])
+    return scales_p, const_p, na, na_pad
+
+
+class ShardedSSQCWT:
+    """Plan for a batched, scale-sharded synchrosqueezed CWT.
+
+    Usage:
+        plan = ShardedSSQCWT(N, mesh=make_mesh(batch=2, scale=4))
+        Tx, Wx = plan(x)   # x: (B, N), B divisible by mesh batch size
+    """
+
+    def __init__(self, N, wavelet='gmw', scales='log-piecewise', nv=32,
+                 fs=1., padtype='reflect', maprange='peak', flipud=True,
+                 gamma=None, mesh=None, derivative_out=False):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.N = int(N)
+        wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
+        self.wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
+        self.dtype = self.wavelet.dtype
+        dt = 1. / fs
+
+        scales_np, cwt_scaletype, _, nv_ = process_scales(
+            scales, N, self.wavelet, nv=nv, get_params=True)
+        ssq_freqs = _compute_associated_frequencies(
+            scales_np, N, self.wavelet, cwt_scaletype, maprange,
+            padtype is not None, dt, 'cwt')
+        if cwt_scaletype == 'log-piecewise':
+            from ..utils.cwt_utils import nv_from_scales
+            const = np.log(2) / nv_from_scales(scales_np)
+        elif cwt_scaletype.startswith('log'):
+            const = np.log(2) / nv_
+        else:
+            const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()
+
+        n_scale = self.mesh.devices.shape[1]
+        scales_p, const_p, self.na, self.na_pad = _pad_scales(
+            scales_np, const, n_scale)
+
+        self.scales_np = scales_np
+        self.ssq_freqs = ssq_freqs
+        self.params = ssq_bin_params(ssq_freqs,
+                                     cwt_scaletype.startswith('log'))
+        self.nbins = self.params['omax'] + 1
+        self.flipud = bool(flipud)
+        if gamma is None:
+            gamma = 10 * (EPS64 if self.dtype == 'float64' else EPS32)
+        self.gamma = float(gamma)
+        self.padtype = padtype
+        self.n_up, self.n1, _ = (pad_params(N, padtype) if padtype
+                                 else (N, 0, 0))
+        self.dt = dt
+
+        self._scales_j = jnp.asarray(scales_p, self.dtype)
+        self._const_j = jnp.asarray(const_p, self.dtype)
+        self._fn = self._build()
+
+    def _build(self):
+        mesh = self.mesh
+        wavelet, dtype = self.wavelet, self.dtype
+        n1, N, n_up = self.n1, self.N, self.n_up
+        params, gamma, flipud = self.params, self.gamma, self.flipud
+        nbins, dt = self.nbins, self.dt
+
+        def per_shard(xp_pad, scales_blk, const_blk):
+            # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
+            Wx, dWx = cwt_core(xp_pad, wavelet, scales_blk, dt,
+                               derivative=True, l1_norm=True, n1=n1, N=N,
+                               rpadded=False, is_2d=True)
+            # fused phase + bin + local scatter over full bin space
+            w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
+            valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
+            w = jnp.where(valid, w, jnp.inf)
+            k, kvalid = compute_bins(w, params, flipud)
+            valid = valid & kvalid
+            c = const_blk.reshape(1, -1, 1)
+            vre, vim = Wx.re * c, Wx.im * c
+            Tx_part = jax.vmap(
+                lambda a, b, kk, vv: _scatter_xla(a, b, kk, vv, nbins)
+            )(vre, vim, k, valid)
+            # the one cross-chip reduction: bin accumulation over scales
+            Tx_re = jax.lax.psum(Tx_part.re, 'scale')
+            Tx_im = jax.lax.psum(Tx_part.im, 'scale')
+            return Tx_re, Tx_im, Wx.re, Wx.im
+
+        fn = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P('batch', None), P('scale', None), P('scale')),
+            out_specs=(P('batch', None, None), P('batch', None, None),
+                       P('batch', 'scale', None),
+                       P('batch', 'scale', None)),
+            check_rep=False)
+
+        @jax.jit
+        def run(x):
+            x = x.astype(dtype)
+            x = jnp.where(jnp.isfinite(x), x, 0)
+            xp_pad = (padsignal(x, self.padtype) if self.padtype
+                      else x)
+            Tx_re, Tx_im, Wx_re, Wx_im = fn(xp_pad, self._scales_j,
+                                            self._const_j)
+            return Tx_re, Tx_im, Wx_re, Wx_im
+        return run
+
+    def __call__(self, x):
+        Tx_re, Tx_im, Wx_re, Wx_im = self._fn(jnp.asarray(x))
+        Tx = Complex(Tx_re, Tx_im)
+        Wx = Complex(Wx_re[:, :self.na], Wx_im[:, :self.na])
+        return Tx, Wx
+
+    @property
+    def ssq_freqs_out(self):
+        return self.ssq_freqs[::-1].copy()
+
+
+def sharded_ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=32, fs=1.,
+                    mesh=None, **kw):
+    """One-shot batched scale-sharded ssq_cwt; `x` (B, N)."""
+    x = np.asarray(x)
+    plan = ShardedSSQCWT(x.shape[-1], wavelet, scales, nv, fs, mesh=mesh,
+                         **kw)
+    Tx, Wx = plan(x)
+    return Tx, Wx, plan.ssq_freqs_out, plan.scales_np.squeeze()
+
+
+def sharded_cwt(x, wavelet='gmw', scales='log-piecewise', nv=32, fs=1.,
+                mesh=None, padtype='reflect'):
+    """Batched scale-sharded forward CWT; `x` (B, N) -> Wx (B, na, N)."""
+    x = np.asarray(x)
+    N = x.shape[-1]
+    mesh = mesh if mesh is not None else make_mesh()
+    wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
+    wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
+    dtype = wavelet.dtype
+
+    scales_np = process_scales(scales, N, wavelet, nv=nv)
+    n_scale = mesh.devices.shape[1]
+    scales_p, _, na, na_pad = _pad_scales(scales_np, 1.0, n_scale)
+    n_up, n1, _ = pad_params(N, padtype)
+
+    def per_shard(xp_pad, scales_blk):
+        Wx, _ = cwt_core(xp_pad, wavelet, scales_blk, 1.0, False, True,
+                         n1, N, rpadded=False, is_2d=True)
+        return Wx.re, Wx.im
+
+    fn = shard_map(per_shard, mesh=mesh,
+                   in_specs=(P('batch', None), P('scale', None)),
+                   out_specs=(P('batch', 'scale', None),
+                              P('batch', 'scale', None)),
+                   check_rep=False)
+
+    @jax.jit
+    def run(x):
+        xp = padsignal(x.astype(dtype), padtype)
+        return fn(xp, jnp.asarray(scales_p, dtype))
+
+    Wx_re, Wx_im = run(jnp.asarray(x))
+    return Complex(Wx_re[:, :na], Wx_im[:, :na]), scales_np.squeeze()
+
+
+def dryrun_multichip(n_devices):
+    """Compile + run ONE sharded training-style step on tiny shapes over an
+    `n_devices` mesh: forward sharded ssq_cwt, plus a gradient of a
+    reconstruction loss through cwt -> icwt (exercises AD through the
+    full compute path). Used by the driver with N virtual CPU devices."""
+    devices = jax.devices()[:n_devices]
+    batch_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = make_mesh(batch=batch_axis, scale=n_devices // batch_axis,
+                     devices=devices)
+
+    B, N = batch_axis * 2, 256
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((B, N)).astype(np.float32)
+
+    # forward sharded ssq_cwt
+    plan = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
+                         mesh=mesh)
+    Tx, Wx = plan(x)
+    jax.block_until_ready(Tx.re)
+
+    # gradient step: differentiate a reconstruction-style loss through the
+    # sharded forward (data-parallel grads psum'd by shard_map/jit)
+    scales_j = plan._scales_j
+    wavelet = plan.wavelet
+
+    def loss_fn(x_in):
+        def per_shard(xp_pad, scales_blk):
+            Wx, _ = cwt_core(xp_pad, wavelet, scales_blk, 1.0, False, True,
+                             plan.n1, N, rpadded=False, is_2d=True)
+            # one-integral inverse (log scales, L1): sum Re(Wx) over scales
+            rec_part = Wx.re.sum(axis=-2)
+            rec = jax.lax.psum(rec_part, 'scale')
+            return ((rec - xp_pad[..., plan.n1:plan.n1 + N]) ** 2).mean(
+                keepdims=True)[..., None]
+
+        fn = shard_map(per_shard, mesh=mesh,
+                       in_specs=(P('batch', None), P('scale', None)),
+                       out_specs=P('batch', None),
+                       check_rep=False)
+        xp_pad = padsignal(x_in, 'reflect')
+        return fn(xp_pad, scales_j).mean()
+
+    g = jax.jit(jax.grad(loss_fn))(jnp.asarray(x))
+    jax.block_until_ready(g)
+    assert g.shape == x.shape
+    assert np.isfinite(np.asarray(g)).all()
+    return True

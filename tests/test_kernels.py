@@ -1,0 +1,163 @@
+# -*- coding: utf-8 -*-
+"""Kernel-level equivalence tests — the reference's backend-equality
+pattern (tests/fft_test.py): same math, multiple execution paths, assert
+allclose.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ssqueezepy_tpu import ssq_cwt, ssq_stft
+from ssqueezepy_tpu.ops.complexlib import Complex
+from ssqueezepy_tpu.ops.phase import phase_cwt, phase_stft
+from ssqueezepy_tpu.ops.ssq_kernels import (
+    ssq_bin_params, compute_bins, ssqueeze_fast, indexed_sum_onfly,
+    find_closest, find_closest_smart, find_closest_brute, _scatter_xla)
+
+rng = np.random.default_rng(0)
+
+
+def _rand_cplx(shape, dtype='float64'):
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    return Complex.from_numpy(z, dtype), z
+
+
+def _scatter_ref_np(vals, k, valid, nbins):
+    out = np.zeros((nbins, vals.shape[1]), dtype=vals.dtype)
+    for i in range(vals.shape[0]):
+        for j in range(vals.shape[1]):
+            if valid[i, j]:
+                out[k[i, j], j] += vals[i, j]
+    return out
+
+
+def test_scatter_xla_vs_numpy():
+    na, n, nbins = 30, 64, 25
+    vals = rng.standard_normal((na, n))
+    k = rng.integers(0, nbins, (na, n)).astype(np.int32)
+    valid = rng.random((na, n)) > .2
+    out = _scatter_xla(jnp.asarray(vals), jnp.asarray(vals * 2),
+                       jnp.asarray(k), jnp.asarray(valid), nbins)
+    ref = _scatter_ref_np(vals, k, valid, nbins)
+    assert np.abs(np.asarray(out.re) - ref).max() < 1e-12
+    assert np.abs(np.asarray(out.im) - 2 * ref).max() < 1e-12
+
+
+@pytest.mark.parametrize("mode", ['log', 'lin', 'log-piecewise'])
+def test_compute_bins_vs_find_closest(mode):
+    """Analytic bin maps match exact argmin within the reference's own
+    tolerance (never more than 1 bin off; reference algos.py:288-293)."""
+    na, n = 40, 128
+    if mode == 'lin':
+        v = np.linspace(0.01, 0.5, 50)
+        logscale = False
+    elif mode == 'log':
+        v = 0.01 * 2 ** (np.arange(50) / 8)
+        logscale = True
+    else:
+        v1 = 0.01 * 2 ** (np.arange(30) / 8)
+        v2 = v1[-1] * 2 ** ((np.arange(1, 21)) / 2)
+        v = np.hstack([v1, v2])
+        logscale = True
+
+    w = rng.uniform(v[0], v[-1], (na, n))
+    params = ssq_bin_params(v, logscale)
+    k, valid = compute_bins(jnp.asarray(w), params)
+    k = np.asarray(k)
+
+    k_exact = find_closest_smart(np.log2(w) if logscale else w,
+                                 np.log2(v) if logscale else v)
+    assert np.abs(k - k_exact).max() <= 1, mode
+    # overwhelming majority must agree exactly
+    assert (k == k_exact).mean() > .95, mode
+
+
+def test_find_closest_variants_agree():
+    a = rng.uniform(0.01, 0.5, (20, 30))
+    v = np.linspace(0.01, 0.5, 40)
+    k_smart = find_closest_smart(a, v)
+    k_brute = find_closest_brute(a, v)
+    assert (k_smart == k_brute).all()
+    k_lin = find_closest(a, v, smart=False, parallel=False)
+    assert np.abs(k_lin - k_brute).max() <= 1
+
+
+def test_ssqueeze_fast_vs_two_step():
+    """Fused phase+scatter == explicit phase transform + indexed sum
+    (reference fft_test.py:357-383)."""
+    na, n = 30, 256
+    Wx, _ = _rand_cplx((na, n))
+    dWx, _ = _rand_cplx((na, n))
+    v = 0.01 * 2 ** (np.arange(na) / 8.)
+    gamma = 1e-3
+    const = 0.5
+
+    Tx1 = ssqueeze_fast(Wx, dWx, v, const, logscale=True, gamma=gamma)
+    w = phase_cwt(Wx, dWx, 'trig', gamma)
+    Tx2 = indexed_sum_onfly(Wx * const, np.asarray(w), v, 1.0,
+                            logscale=True)
+    assert np.abs((Tx1 - Tx2).to_numpy()).max() < 1e-12
+
+
+def test_batched_vs_loop_ssq_cwt():
+    """Batched 2D input == per-sample loop (reference
+    fft_test.py:560-607)."""
+    x = rng.standard_normal((3, 512))
+    wav = ('gmw', {'dtype': 'float64'})
+    Txb, Wxb, *_ = ssq_cwt(x, wav, scales='log', astensor=False)
+    for i in range(3):
+        Txi, Wxi, *_ = ssq_cwt(x[i], wav, scales='log', astensor=False)
+        assert np.abs(Txb[i] - Txi).max() < 1e-14, i
+        assert np.abs(Wxb[i] - Wxi).max() < 1e-14, i
+
+
+def test_batched_vs_loop_ssq_stft():
+    x = rng.standard_normal((3, 256))
+    Txb, Sxb, *_ = ssq_stft(x, dtype='float64', astensor=False)
+    for i in range(3):
+        Txi, Sxi, *_ = ssq_stft(x[i], dtype='float64', astensor=False)
+        assert np.abs(Txb[i] - Txi).max() < 1e-14, i
+        assert np.abs(Sxb[i] - Sxi).max() < 1e-14, i
+
+
+def test_phase_transforms():
+    na, n = 10, 64
+    Wx, Wn = _rand_cplx((na, n))
+    dWx, dWn = _rand_cplx((na, n))
+    gamma = 1e-2
+
+    w = np.asarray(phase_cwt(Wx, dWx, 'trig', gamma))
+    ref = np.abs((dWn / Wn).imag / (2 * np.pi))
+    ref[np.abs(Wn) < gamma] = np.inf
+    finite = np.isfinite(ref)
+    assert (np.isfinite(w) == finite).all()
+    assert np.abs(w[finite] - ref[finite]).max() < 1e-12
+
+    Sfs = np.linspace(0, .5, na)
+    ws = np.asarray(phase_stft(Wx, dWx, Sfs, gamma))
+    refs = np.abs(Sfs[:, None] - (dWn / Wn).imag / (2 * np.pi))
+    refs[np.abs(Wn) < gamma] = np.inf
+    finite = np.isfinite(refs)
+    assert np.abs(ws[finite] - refs[finite]).max() < 1e-12
+
+
+def test_squeezing_variants():
+    x = rng.standard_normal(512)
+    for squeezing in ('sum', 'lebesgue', 'abs'):
+        Tx, *_ = ssq_cwt(x, ('gmw', {'dtype': 'float64'}), scales='log',
+                         squeezing=squeezing, astensor=False)
+        assert np.isfinite(Tx).all(), squeezing
+
+
+def test_difftypes_and_get_w():
+    x = rng.standard_normal(512)
+    wav = ('gmw', {'dtype': 'float64'})
+    Tx0, *_ = ssq_cwt(x, wav, scales='log', astensor=False)
+    Tx1, Wx, sf, sc, w = ssq_cwt(x, wav, scales='log', get_w=True,
+                                 astensor=False)
+    assert np.abs(Tx0 - Tx1).max() < 1e-12  # fused == two-step
+    # numeric & phase difftypes run and produce finite results
+    for difftype in ('phase', 'numeric'):
+        Tx, *_ = ssq_cwt(x, wav, scales='log', difftype=difftype,
+                         get_w=True, astensor=False)
+        assert np.isfinite(Tx).all(), difftype

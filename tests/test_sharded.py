@@ -1,0 +1,73 @@
+# -*- coding: utf-8 -*-
+"""Multi-device sharding tests on a virtual 8-device CPU mesh.
+
+The TPU analog of the reference's CPU-vs-GPU equality tests: 1-chip vs
+n-chip-sharded outputs must match (SURVEY.md §4.2).
+"""
+import numpy as np
+import jax
+import pytest
+
+import ssqueezepy_tpu as stq
+from ssqueezepy_tpu.parallel import (make_mesh, sharded_ssq_cwt,
+                                     sharded_cwt, dryrun_multichip)
+
+rng = np.random.default_rng(0)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_sharded_cwt_equals_single():
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    mesh = make_mesh(batch=2, scale=4)
+    Wx_s, sc_s = sharded_cwt(x, ('gmw', {'dtype': 'float32'}), 'log',
+                             nv=16, mesh=mesh)
+    Wx_1, sc_1 = stq.cwt(x, ('gmw', {'dtype': 'float32'}), scales='log',
+                         nv=16, astensor=False)
+    assert np.abs(Wx_s.to_numpy() - Wx_1).max() < 1e-5
+    assert np.allclose(sc_s, sc_1)
+
+
+@needs_8
+@pytest.mark.parametrize("mesh_shape", [(1, 8), (2, 4), (4, 2)])
+def test_sharded_ssq_cwt_equals_single(mesh_shape):
+    b, s = mesh_shape
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    mesh = make_mesh(batch=b, scale=s)
+    Tx_s, Wx_s, sf_s, sc_s = sharded_ssq_cwt(
+        x, ('gmw', {'dtype': 'float32'}), 'log', nv=16, mesh=mesh)
+    Tx_1, Wx_1, sf_1, sc_1 = stq.ssq_cwt(
+        x, ('gmw', {'dtype': 'float32'}), scales='log', nv=16,
+        astensor=False)
+    # float32 bin-boundary rounding may flip single bins between
+    # execution paths; the reference's own CPU-vs-GPU ssq_cwt test uses
+    # atol=6e-3 for float32 (fft_test.py:449) - same criterion here
+    assert np.abs(Tx_s.to_numpy() - Tx_1).max() < 6e-3
+    assert np.abs(Wx_s.to_numpy() - Wx_1).max() < 1e-5
+    # column sums (inversion integrals) must agree tightly - immune to
+    # bin flips
+    assert np.abs(Tx_s.to_numpy().sum(-2) - Tx_1.sum(-2)).max() < 1e-5
+    assert np.allclose(sf_s, sf_1)
+
+
+@needs_8
+def test_scale_padding_nondivisible():
+    """Scale counts not divisible by the mesh axis are padded; results
+    must still match single-chip."""
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    mesh = make_mesh(batch=1, scale=8)
+    # log scales at nv=12 gives a count unlikely divisible by 8
+    Tx_s, Wx_s, sf_s, sc_s = sharded_ssq_cwt(
+        x, ('gmw', {'dtype': 'float32'}), 'log', nv=12, mesh=mesh)
+    Tx_1, Wx_1, *_ = stq.ssq_cwt(x, ('gmw', {'dtype': 'float32'}),
+                                 scales='log', nv=12, astensor=False)
+    assert Wx_s.shape == Wx_1.shape
+    assert np.abs(Tx_s.to_numpy() - Tx_1).max() < 6e-3
+    assert np.abs(Tx_s.to_numpy().sum(-2) - Tx_1.sum(-2)).max() < 1e-5
+
+
+@needs_8
+def test_dryrun_multichip():
+    assert dryrun_multichip(8)
