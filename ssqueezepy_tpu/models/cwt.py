@@ -50,6 +50,20 @@ def _wavelet_key(wavelet):
             wavelet.dtype)
 
 
+_WAVELET_CANON = {}
+
+
+def _canonical_wavelet(wavelet):
+    """Return a per-config singleton Wavelet so jit caches keyed on the
+    instance stay hot across calls (a fresh instance per call would force
+    a retrace every time)."""
+    key = _wavelet_key(wavelet)
+    canon = _WAVELET_CANON.get(key)
+    if canon is None:
+        _WAVELET_CANON[key] = canon = wavelet
+    return canon
+
+
 def _process_gmw_wavelet(wavelet, l1_norm):
     """Keep GMW norm consistent with `l1_norm` (reference _cwt.py:497-514).
     """
@@ -142,6 +156,24 @@ def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
     return jax.jit(run)
 
 
+_SCALES_CACHE = {}
+
+
+def _cached_scales(scales, N, wavelet, nv, get_params=False):
+    """process_scales with host-side memoization for string specs (the
+    scale searches cost ~100ms on host; transforms are called repeatedly
+    with identical specs)."""
+    if isinstance(scales, str):
+        key = (scales, N, _wavelet_key(wavelet), nv, get_params)
+        hit = _SCALES_CACHE.get(key)
+        if hit is None:
+            hit = process_scales(scales, N, wavelet, nv=nv,
+                                 get_params=get_params)
+            _SCALES_CACHE[key] = hit
+        return hit
+    return process_scales(scales, N, wavelet, nv=nv, get_params=get_params)
+
+
 # --------------------------------------------------------------------------
 # public API
 # --------------------------------------------------------------------------
@@ -176,10 +208,10 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
     dt, fs_, _ = _process_fs_and_t(fs, t, N)
 
     wavelet = _process_gmw_wavelet(wavelet, l1_norm)
-    wavelet = Wavelet._init_if_not_isinstance(wavelet)
+    wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet))
     dtype = wavelet.dtype
 
-    scales_np = process_scales(scales, N, wavelet, nv=nv)
+    scales_np = _cached_scales(scales, N, wavelet, nv)
 
     if padtype is not None:
         n_up, n1, _ = pad_params(N, padtype)

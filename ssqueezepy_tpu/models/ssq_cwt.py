@@ -53,6 +53,70 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
     return jax.jit(run)
 
 
+_PLAN_CACHE = {}
+
+
+def _ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange, was_padded,
+                  dt, flipud):
+    """Host-side plan: scales, ssq frequency grid, squeeze constant, bin
+    params, natural bins. Memoized for hashable (string) specs — the
+    scale-bound searches and center-frequency integrals cost ~100ms+ per
+    call otherwise."""
+    cacheable = (isinstance(scales, str) and
+                 (ssq_freqs is None or isinstance(ssq_freqs, str)) and
+                 not isinstance(maprange, (tuple, list)))
+    key = None
+    if cacheable:
+        from .cwt import _wavelet_key
+        key = (_wavelet_key(wavelet), N, scales, nv, ssq_freqs, maprange,
+               was_padded, float(dt), bool(flipud))
+        hit = _PLAN_CACHE.get(key)
+        if hit is not None:
+            return hit
+
+    scales_np, cwt_scaletype, _, nv_ = process_scales(
+        scales, N, wavelet, nv=nv, get_params=True)
+
+    if ssq_freqs is None:
+        ssq_freqs = cwt_scaletype
+    if not isinstance(ssq_freqs, np.ndarray):
+        ssq_scaletype = ssq_freqs if isinstance(ssq_freqs, str) \
+            else cwt_scaletype
+        if ((maprange == 'maximal' or isinstance(maprange, tuple)) and
+                ssq_scaletype == 'log-piecewise'):
+            raise ValueError("can't have `ssq_scaletype = log-piecewise` "
+                             "with `maprange = 'maximal'`")
+        ssq_freqs = _compute_associated_frequencies(
+            scales_np, N, wavelet, ssq_scaletype, maprange, was_padded, dt,
+            'cwt')
+    else:
+        from ..utils.cwt_utils import infer_scaletype
+        ssq_scaletype, _ = infer_scaletype(ssq_freqs)
+
+    # squeeze constant (reference ssqueezing.py:124-132). For
+    # log-piecewise scales `nv` is a per-row array (downsampled high
+    # scales carry 1/downsample the voices -> 4x the weight), matching
+    # the reference's re-inference inside `ssqueeze` (ssqueezing.py:169).
+    if cwt_scaletype == 'log-piecewise':
+        from ..utils.cwt_utils import nv_from_scales
+        const = np.log(2) / nv_from_scales(scales_np)
+    elif cwt_scaletype.startswith('log'):
+        const = np.log(2) / nv_
+    else:
+        const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()
+
+    logscale = ssq_scaletype.startswith('log')
+    params = ssq_bin_params(ssq_freqs, logscale)
+    natural = _natural_bins('cwt', scales_np, ssq_freqs, params, flipud,
+                            len(scales_np), dt)
+
+    out = (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
+           params, natural, logscale)
+    if key is not None:
+        _PLAN_CACHE[key] = out
+    return out
+
+
 def _apply_squeezing(Wx, squeezing):
     if squeezing == 'sum' or squeezing is None:
         return Wx
@@ -90,53 +154,21 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     is_2d = (xnp.ndim == 2)
 
     wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
-    wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
+    from .cwt import _canonical_wavelet
+    wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet,
+                                                                 N=N))
     dtype = wavelet.dtype
-
-    scales_np, cwt_scaletype, _, nv_ = process_scales(
-        scales, N, wavelet, nv=nv, get_params=True)
 
     # gamma default: 10 * machine epsilon (reference _ssq_cwt.py:266-267)
     if gamma is None:
         gamma = 10 * (EPS64 if dtype == 'float64' else EPS32)
     gamma = float(gamma)
 
-    # ssq frequency grid (host)
     was_padded = bool(padtype is not None)
-    if ssq_freqs is None:
-        ssq_freqs = cwt_scaletype
-    if not isinstance(ssq_freqs, np.ndarray):
-        ssq_scaletype = ssq_freqs if isinstance(ssq_freqs, str) \
-            else cwt_scaletype
-        if ((maprange == 'maximal' or isinstance(maprange, tuple)) and
-                ssq_scaletype == 'log-piecewise'):
-            raise ValueError("can't have `ssq_scaletype = log-piecewise` "
-                             "with `maprange = 'maximal'`")
-        ssq_freqs = _compute_associated_frequencies(
-            scales_np, N, wavelet, ssq_scaletype, maprange, was_padded, dt,
-            'cwt')
-    else:
-        from ..utils.cwt_utils import infer_scaletype
-        ssq_scaletype, _ = infer_scaletype(ssq_freqs)
-
-    # squeeze constant (reference ssqueezing.py:124-132). For
-    # log-piecewise scales `nv` is a per-row array (downsampled high
-    # scales carry 1/downsample the voices -> 4x the weight), via
-    # re-inference from the scales array as the reference does by
-    # re-processing scales inside `ssqueeze` (ssqueezing.py:169).
-    if cwt_scaletype == 'log-piecewise':
-        from ..utils.cwt_utils import nv_from_scales
-        nv_arr = nv_from_scales(scales_np)
-        const = np.log(2) / nv_arr
-    elif cwt_scaletype.startswith('log'):
-        const = np.log(2) / nv_
-    else:
-        const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()
-
-    logscale = ssq_scaletype.startswith('log')
-    params = ssq_bin_params(ssq_freqs, logscale)
-    natural = _natural_bins('cwt', scales_np, ssq_freqs, params, flipud,
-                            len(scales_np), dt)
+    (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
+     params, natural, logscale) = _ssq_cwt_plan(
+        wavelet, N, scales, nv, ssq_freqs, maprange, was_padded, dt,
+        flipud)
 
     # higher-order / explicit-w paths take the compositional (slower) route
     if (isinstance(order, (tuple, list, range)) or order > 0 or get_w or

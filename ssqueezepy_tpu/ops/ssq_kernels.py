@@ -135,8 +135,12 @@ def _scatter_xla(vre, vim, k, valid, nbins):
 def _dispatch_scatter(vre, vim, k, valid, nbins, natural_bins=None):
     from ..configs import backend, get_config
     if backend() == 'tpu' and get_config().use_pallas:
-        from .ssq_pallas import shift_scatter_pallas
-        return shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins)
+        try:
+            from .ssq_pallas import shift_scatter_pallas
+            return shift_scatter_pallas(vre, vim, k, valid, nbins,
+                                        natural_bins)
+        except NotImplementedError:
+            pass  # unsupported geometry -> XLA fallback
     return _scatter_xla(vre, vim, k, valid, nbins)
 
 
@@ -155,6 +159,15 @@ def ssqueeze_fast(Wx, dWx, ssq_freqs, const, logscale=False, flipud=False,
     na = Wx.shape[-2]
     nbins = params['omax'] + 1
     dtype = str(Wx.dtype)
+
+    from ..configs import backend, get_config
+    if backend() == 'tpu' and get_config().use_pallas and gamma is not None:
+        try:
+            from .ssq_pallas import ssq_fused_pallas
+            return ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud,
+                                    natural_bins, Sfs=Sfs)
+        except NotImplementedError:
+            pass  # unsupported geometry -> XLA path below
 
     w = _imag_ratio_over_2pi(Wx, dWx)
     if Sfs is None:
