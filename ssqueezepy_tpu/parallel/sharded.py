@@ -216,7 +216,14 @@ def dryrun_multichip(n_devices):
     `n_devices` mesh: forward sharded ssq_cwt, plus a gradient of a
     reconstruction loss through cwt -> icwt (exercises AD through the
     full compute path). Used by the driver with N virtual CPU devices."""
-    devices = jax.devices()[:n_devices]
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        # default platform has too few chips (e.g. 1 real TPU via tunnel);
+        # fall back to the virtual CPU device pool
+        # (xla_force_host_platform_device_count)
+        devices = jax.devices('cpu')
+    devices = devices[:n_devices]
+    assert len(devices) == n_devices, (len(devices), n_devices)
     batch_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
     mesh = make_mesh(batch=batch_axis, scale=n_devices // batch_axis,
                      devices=devices)
