@@ -1,0 +1,125 @@
+# -*- coding: utf-8 -*-
+"""Stage-level profiling of the 160k x 300 ssq_cwt pipeline on TPU.
+
+Each stage is jitted with outputs reduced to scalars on-device so the
+timing excludes host transfers (axon tunnel: block_until_ready does not
+sync; a scalar fetch does).
+"""
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import ssqueezepy_tpu as stq
+from ssqueezepy_tpu.ops.complexlib import Complex
+from ssqueezepy_tpu.ops.fft import fft, ifft
+from ssqueezepy_tpu.ops.pad import padsignal, pad_params
+from ssqueezepy_tpu.models.wavelets import Wavelet, _xifn
+from ssqueezepy_tpu.models.cwt import cwt_core, _process_gmw_wavelet
+from ssqueezepy_tpu.utils.cwt_utils import process_scales, nv_from_scales
+from ssqueezepy_tpu.models.ssqueezing import (_compute_associated_frequencies,
+                                              _natural_bins)
+from ssqueezepy_tpu.ops.ssq_kernels import ssqueeze_fast, ssq_bin_params
+
+
+def bench(f, *a, n=10):
+    def sync(y):
+        leaves = jax.tree.leaves(y)
+        _ = np.asarray(leaves[0].ravel()[0:1])
+    y = f(*a); sync(y)
+    y = f(*a); sync(y)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        y = f(*a)
+    sync(y)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    N = 160000
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(N).astype(np.float32)
+
+    wavelet = _process_gmw_wavelet(('gmw', {'dtype': 'float32'}), True)
+    wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
+    scales_np, scaletype, _, nv = process_scales(
+        'log-piecewise', N, wavelet, nv=32, get_params=True)
+    na = len(scales_np)
+    print('na =', na)
+
+    n_up, n1, _ = pad_params(N, 'reflect')
+    print('n_up =', n_up)
+    xp = np.asarray(padsignal(jnp.asarray(x), 'reflect'))
+    xp_j = jnp.asarray(xp)
+    scales_j = jnp.asarray(scales_np, jnp.float32)
+
+    ssq_freqs = _compute_associated_frequencies(
+        scales_np, N, wavelet, scaletype, 'peak', True, 1.0, 'cwt')
+    const = np.log(2) / nv_from_scales(scales_np)
+    params = ssq_bin_params(ssq_freqs, True)
+    natural = _natural_bins('cwt', scales_np, ssq_freqs, params, True, na, 1.0)
+    const_j = jnp.asarray(np.asarray(const, np.float32))
+    gamma = float(10 * np.finfo(np.float32).eps)
+
+    # stage 1: forward fft of padded signal
+    f_fft = jax.jit(lambda xp: fft(Complex(xp, jnp.zeros_like(xp))).abs2().sum())
+    print('fwd fft 1x%d        : %.4f s' % (n_up, bench(f_fft, xp_j)))
+
+    # stage 2: filterbank synthesis only
+    def synth(scales_j):
+        xi = jnp.asarray(_xifn(1., n_up, np.dtype('float32')))
+        w_grid = scales_j * xi
+        psih = wavelet.fn(w_grid, xp=jnp)
+        return psih.sum()
+    f_syn = jax.jit(synth)
+    print('filterbank %dx%d  : %.4f s' % (na, n_up, bench(f_syn, scales_j)))
+
+    # stage 3: full cwt_core (Wx + dWx)
+    def core(xp, scales_j):
+        Wx, dWx = cwt_core(xp, wavelet, scales_j, 1.0, True, True, n1, N,
+                           rpadded=False, is_2d=False)
+        return Wx.re.sum() + dWx.re.sum()
+    f_core = jax.jit(core)
+    print('cwt_core Wx+dWx      : %.4f s' % bench(f_core, xp_j, scales_j))
+
+    # stage 3b: cwt_core without derivative
+    def core1(xp, scales_j):
+        Wx, _ = cwt_core(xp, wavelet, scales_j, 1.0, False, True, n1, N,
+                         rpadded=False, is_2d=False)
+        return Wx.re.sum()
+    f_core1 = jax.jit(core1)
+    print('cwt_core Wx only     : %.4f s' % bench(f_core1, xp_j, scales_j))
+
+    # stage 4: scatter only (on precomputed Wx, dWx)
+    Wx, dWx = jax.jit(lambda xp, s: cwt_core(
+        xp, wavelet, s, 1.0, True, True, n1, N, False, False))(xp_j, scales_j)
+    params_d = dict(params)
+
+    def scat(Wre, Wim, dre, dim, const):
+        Wx = Complex(Wre, Wim)
+        dWx = Complex(dre, dim)
+        Tx = ssqueeze_fast(Wx, dWx, None, const, logscale=True, flipud=True,
+                           gamma=gamma, Sfs=None, params=params_d,
+                           natural_bins=np.asarray(natural, np.int32)
+                           if natural is not None else None)
+        return Tx.re.sum()
+    f_scat = jax.jit(scat)
+    print('scatter only         : %.4f s' % bench(
+        f_scat, Wx.re, Wx.im, dWx.re, dWx.im, const_j))
+
+    # stage 5: fully fused fwd (everything, scalar out)
+    def full(xp, scales_j, const):
+        Wx, dWx = cwt_core(xp, wavelet, scales_j, 1.0, True, True, n1, N,
+                           False, False)
+        Tx = ssqueeze_fast(Wx, dWx, None, const, logscale=True, flipud=True,
+                           gamma=gamma, Sfs=None, params=params_d,
+                           natural_bins=np.asarray(natural, np.int32)
+                           if natural is not None else None)
+        return Tx.re.sum() + Wx.re.sum()
+    f_full = jax.jit(full)
+    print('fused full (scalar)  : %.4f s' % bench(f_full, xp_j, scales_j,
+                                                  const_j))
+
+
+if __name__ == '__main__':
+    main()

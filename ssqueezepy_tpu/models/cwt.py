@@ -99,36 +99,52 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
     n_up = xp_pad.shape[-1]
     dtype = str(xp_pad.dtype)
     analytic = _is_analytic(wavelet)
-    prefix = n_up // 2 + 1 if analytic else None
+    half = n_up // 2 + 1
 
-    xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1)
+    # Analytic fast path: the freq-domain wavelet is exactly zero on the
+    # negative half, so (a) the forward FFT computes only bins [0, n/2]
+    # (real input: half the stage-1 matmuls are skipped too), (b) the
+    # filterbank is synthesized on the half grid only, (c) the inverse
+    # FFT takes the short spectrum (implicit zeros, never materialized)
+    # and computes only the unpadded output range. All exact.
+    out_range = (n1, n1 + N) if (not rpadded) else None
+    if analytic:
+        xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1,
+                 out_range=(0, half), imag_zero=True)
+    else:
+        xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1,
+                 imag_zero=True)
     if is_2d:
         xh = Complex(xh.re[:, None], xh.im[:, None])
 
-    xi = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))   # (n_up,)
-    w_grid = scales_j * xi                               # (na, n_up)
+    xi_full = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))   # (n_up,)
+    xi = xi_full[:half] if analytic else xi_full
+    w_grid = scales_j * xi                               # (na, n_half|n_up)
     psih = wavelet.fn(w_grid, xp=jnp)
+    nyq = n_up // 2 if not analytic else half - 1
     if isinstance(psih, tuple):                          # complex wavelet
         psih = Complex(*psih)
-        psih = Complex(psih.re.at[..., n_up // 2].divide(2),
-                       psih.im.at[..., n_up // 2].divide(2)) \
+        psih = Complex(psih.re.at[..., nyq].divide(2),
+                       psih.im.at[..., nyq].divide(2)) \
             if n_up % 2 == 0 else psih
         Psih_xh = psih * xh
     else:
         if n_up % 2 == 0:
-            psih = psih.at[..., n_up // 2].divide(2)     # Nyquist halving
+            psih = psih.at[..., nyq].divide(2)           # Nyquist halving
         Psih_xh = Complex(psih * xh.re, psih * xh.im)
 
-    Wx = ifft(Psih_xh, axis=-1, nonzero_prefix=prefix)
+    Wx = ifft(Psih_xh, axis=-1, n=n_up, out_range=out_range,
+              nonzero_prefix=half if analytic else None)
 
     dWx = None
     if derivative:
         # multiply by (1j * xi / dt): (re,im) -> (-im*xi/dt, re*xi/dt)
         xi_dt = (xi / dt).astype(dtype)
         dPsih = Complex(-Psih_xh.im * xi_dt, Psih_xh.re * xi_dt)
-        dWx = ifft(dPsih, axis=-1, nonzero_prefix=prefix)
+        dWx = ifft(dPsih, axis=-1, n=n_up, out_range=out_range,
+                   nonzero_prefix=half if analytic else None)
 
-    if not rpadded:
+    if not rpadded and out_range is None:
         Wx = Complex(Wx.re[..., n1:n1 + N], Wx.im[..., n1:n1 + N])
         if derivative:
             dWx = Complex(dWx.re[..., n1:n1 + N], dWx.im[..., n1:n1 + N])

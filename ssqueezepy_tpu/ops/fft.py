@@ -132,34 +132,102 @@ def _cdot_axis1(wr, wi, ar, ai):
     return br, bi
 
 
-def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None):
-    """FFT along last axis (length n) of split-complex (ar, ai), any batch."""
+def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None, out_range=None,
+              imag_zero=False):
+    """FFT along last axis of split-complex (ar, ai), any batch.
+
+    Pruning hooks (all exact — they only skip work on provably-zero or
+    unrequested data):
+      * `nonzero_prefix=p`: input is zero beyond index p (analytic spectra);
+        the last axis may also simply be SHORTER than n (length >= p), in
+        which case the zeros are implicit and never materialized in HBM.
+      * `out_range=(lo, hi)`: only output indices [lo, hi) are needed
+        (unpadding); the final stage computes only the covering digit range.
+        Returns (ar, ai, offset): outputs cover [offset, offset + size).
+      * `imag_zero`: input imaginary part is identically zero (real input);
+        skips half the first-stage matmuls. `ai` is ignored.
+    """
     factors = _factorize(n)
     if len(factors) == 1 and factors[0] > _MAX_DIRECT_PRIME:
-        return _bluestein(ar, ai, n, sign, dtype)
+        if ar.shape[-1] != n:
+            pad = [(0, 0)] * (ar.ndim - 1) + [(0, n - ar.shape[-1])]
+            ar = jnp.pad(ar, pad)
+            ai = jnp.pad(ai, pad) if not imag_zero else ar * 0
+        if imag_zero:
+            ai = jnp.zeros_like(ar)
+        br, bi = _bluestein(ar, ai, n, sign, dtype)
+        return (br, bi, 0) if out_range is not None else (br, bi)
 
     batch = ar.shape[:-1]
     b = int(np.prod(batch)) if batch else 1
-    ar = ar.reshape(b, n, 1)
-    ai = ai.reshape(b, n, 1)
+    n_in = ar.shape[-1]
+    if nonzero_prefix is None and n_in < n:
+        nonzero_prefix = n_in
+
+    # stage-1 input-row pruning geometry
+    M2_0 = n // factors[0]
+    if nonzero_prefix is not None and nonzero_prefix < n:
+        rows0 = max(1, -(-int(nonzero_prefix) // M2_0))
+    else:
+        rows0 = factors[0]
+    # pad/truncate the (implicitly zero-extended) input to rows0 * M2_0
+    need = rows0 * M2_0
+    if n_in < need:
+        pad = [(0, 0)] * (ar.ndim - 1) + [(0, need - n_in)]
+        ar = jnp.pad(ar, pad)
+        if not imag_zero:
+            ai = jnp.pad(ai, pad)
+    elif n_in > need:
+        ar = ar[..., :need]
+        if not imag_zero:
+            ai = ai[..., :need]
+
+    ar = ar.reshape(b, rows0, M2_0)
+    ai = ai.reshape(b, rows0, M2_0) if not imag_zero else None
+
+    # last-stage output-digit pruning geometry: output index is
+    # k1 + f1*(k2 + f2*(k3 + ...)), so the last digit kL has stride
+    # n // fL and restricting outputs [lo, hi) restricts kL to a range.
+    kl_lo = 0
+    f_last = factors[-1]
+    stride_last = int(np.prod(factors[:-1]))
+    if out_range is not None and len(factors) > 1:
+        lo, hi = out_range
+        kl_lo = max(0, int(lo) // stride_last)
+        kl_hi = min(f_last, -(-int(hi) // stride_last))
+    else:
+        kl_hi = f_last
 
     M = n
     K = 1
+    out_factors = []
     for si, f in enumerate(factors):
         M2 = M // f
-        ar = ar.reshape(b, f, M2 * K)
-        ai = ai.reshape(b, f, M2 * K)
+        last = (si == len(factors) - 1)
 
-        wr, wi = _dft_matrix_np(f, sign, dtype)  # (F, R); symmetric
+        wr, wi = _dft_matrix_np(f, sign, dtype)  # (F_out, R); symmetric
         wr, wi = jnp.asarray(wr), jnp.asarray(wi)
-        if si == 0 and nonzero_prefix is not None and nonzero_prefix < n:
-            rows = max(1, -(-int(nonzero_prefix) // M2))
-            wr, wi = wr[:, :rows], wi[:, :rows]
-            ar, ai = ar[:, :rows], ai[:, :rows]
-        # (b, f, M2*K) x (f, F) -> (b, M2*K, F)
-        br, bi = _cdot_axis1(wr, wi, ar, ai)
-        br = br.reshape(b, M2, K * f)
-        bi = bi.reshape(b, M2, K * f)
+        if si == 0 and rows0 < f:
+            wr, wi = wr[:, :rows0], wi[:, :rows0]
+        else:
+            ar = ar.reshape(b, f, M2 * K)
+            ai = ai.reshape(b, f, M2 * K) if ai is not None else None
+        if last and (kl_lo > 0 or kl_hi < f):
+            wr, wi = wr[kl_lo:kl_hi], wi[kl_lo:kl_hi]
+        f_out = wr.shape[0]
+        out_factors.append(f_out)
+
+        # (b, R, M2*K) x (F_out, R) -> (b, M2*K, F_out)
+        if ai is None:
+            dn = (((1,), (1,)), ((), ()))
+            kw = dict(dimension_numbers=dn, precision=_EINSUM_PRECISION,
+                      preferred_element_type=ar.dtype)
+            br = jax.lax.dot_general(ar, wr, **kw)
+            bi = jax.lax.dot_general(ar, wi, **kw)
+        else:
+            br, bi = _cdot_axis1(wr, wi, ar, ai)
+        br = br.reshape(b, M2, K * f_out)
+        bi = bi.reshape(b, M2, K * f_out)
 
         if M2 > 1:
             # twiddle W_M^{m * k_new}: depends on (m in M2, k_new in f);
@@ -180,11 +248,14 @@ def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None):
 
     # done dims are (k1, ..., kL) slowest->fastest in *processing order*;
     # output index is k1 + f1*(k2 + f2*(...)) -> reverse the factor axes.
-    ar = ar.reshape(b, *factors)
-    ai = ai.reshape(b, *factors)
-    perm = (0,) + tuple(range(len(factors), 0, -1))
-    ar = ar.transpose(perm).reshape(*batch, n)
-    ai = ai.transpose(perm).reshape(*batch, n)
+    n_out = int(np.prod(out_factors))
+    ar = ar.reshape(b, *out_factors)
+    ai = ai.reshape(b, *out_factors)
+    perm = (0,) + tuple(range(len(out_factors), 0, -1))
+    ar = ar.transpose(perm).reshape(*batch, n_out)
+    ai = ai.transpose(perm).reshape(*batch, n_out)
+    if out_range is not None:
+        return ar, ai, kl_lo * stride_last
     return ar, ai
 
 
@@ -234,23 +305,49 @@ def _bluestein(ar, ai, n, sign, dtype):
 # --------------------------------------------------------------------------
 # public matmul-engine entry points
 # --------------------------------------------------------------------------
-def fft_matmul(z, axis=-1, nonzero_prefix=None):
-    """Forward FFT (numpy convention) via the MXU matmul engine."""
+def fft_matmul(z, axis=-1, nonzero_prefix=None, n=None, out_range=None,
+               imag_zero=False):
+    """Forward FFT (numpy convention) via the MXU matmul engine.
+
+    `n`: transform length (defaults to the input length; may exceed it, in
+    which case the input is implicitly zero-extended — never materialized).
+    `out_range=(lo, hi)`: compute only output indices [lo, hi) (exact;
+    prunes the final stage). `imag_zero`: input is real (skips half the
+    first-stage matmuls).
+    """
     z = _as_cplx(z)
     ar, ai = _move_last(z.re, axis), _move_last(z.im, axis)
-    n = ar.shape[-1]
-    br, bi = _fft_core(ar, ai, n, -1, str(ar.dtype),
-                      nonzero_prefix=nonzero_prefix)
+    n = int(n) if n is not None else ar.shape[-1]
+    out = _fft_core(ar, ai, n, -1, str(ar.dtype),
+                    nonzero_prefix=nonzero_prefix, out_range=out_range,
+                    imag_zero=imag_zero)
+    if out_range is not None:
+        br, bi, off = out
+        lo, hi = out_range
+        br = br[..., lo - off:hi - off]
+        bi = bi[..., lo - off:hi - off]
+    else:
+        br, bi = out
     return Complex(_move_back(br, axis), _move_back(bi, axis))
 
 
-def ifft_matmul(z, axis=-1, nonzero_prefix=None):
-    """Inverse FFT (1/N-normalized) via the MXU matmul engine."""
+def ifft_matmul(z, axis=-1, nonzero_prefix=None, n=None, out_range=None,
+                imag_zero=False):
+    """Inverse FFT (1/N-normalized) via the MXU matmul engine; pruning
+    options as in `fft_matmul`."""
     z = _as_cplx(z)
     ar, ai = _move_last(z.re, axis), _move_last(z.im, axis)
-    n = ar.shape[-1]
-    br, bi = _fft_core(ar, ai, n, +1, str(ar.dtype),
-                      nonzero_prefix=nonzero_prefix)
+    n = int(n) if n is not None else ar.shape[-1]
+    out = _fft_core(ar, ai, n, +1, str(ar.dtype),
+                    nonzero_prefix=nonzero_prefix, out_range=out_range,
+                    imag_zero=imag_zero)
+    if out_range is not None:
+        br, bi, off = out
+        lo, hi = out_range
+        br = br[..., lo - off:hi - off]
+        bi = bi[..., lo - off:hi - off]
+    else:
+        br, bi = out
     inv = np.asarray(1.0 / n, dtype=str(ar.dtype))
     return Complex(_move_back(br * inv, axis), _move_back(bi * inv, axis))
 
@@ -281,18 +378,32 @@ def _use_matmul(engine):
     return backend() == 'tpu'
 
 
-def fft(z, axis=-1, nonzero_prefix=None, engine=None):
+def fft(z, axis=-1, nonzero_prefix=None, engine=None, n=None,
+        out_range=None, imag_zero=False):
     if _use_matmul(engine):
-        return fft_matmul(z, axis, nonzero_prefix)
+        return fft_matmul(z, axis, nonzero_prefix, n=n, out_range=out_range,
+                          imag_zero=imag_zero)
     z = _as_cplx(z)
-    return Complex.from_native(jnp.fft.fft(z.to_native(), axis=axis))
+    out = Complex.from_native(jnp.fft.fft(z.to_native(), n=n, axis=axis))
+    return _slice_axis(out, axis, out_range)
 
 
-def ifft(z, axis=-1, nonzero_prefix=None, engine=None):
+def ifft(z, axis=-1, nonzero_prefix=None, engine=None, n=None,
+         out_range=None, imag_zero=False):
     if _use_matmul(engine):
-        return ifft_matmul(z, axis, nonzero_prefix)
+        return ifft_matmul(z, axis, nonzero_prefix, n=n,
+                           out_range=out_range, imag_zero=imag_zero)
     z = _as_cplx(z)
-    return Complex.from_native(jnp.fft.ifft(z.to_native(), axis=axis))
+    out = Complex.from_native(jnp.fft.ifft(z.to_native(), n=n, axis=axis))
+    return _slice_axis(out, axis, out_range)
+
+
+def _slice_axis(z, axis, out_range):
+    if out_range is None:
+        return z
+    sl = [slice(None)] * z.re.ndim
+    sl[axis] = slice(out_range[0], out_range[1])
+    return z[tuple(sl)]
 
 
 def rfft(x, axis=-1, engine=None):
