@@ -73,7 +73,20 @@ def _ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange, was_padded,
         hit = _PLAN_CACHE.get(key)
         if hit is not None:
             return hit
+        # disk layer (wisdom analog): restores the full numeric plan
+        # across sessions (utils/plan_cache.py)
+        from ..utils.plan_cache import disk_memo
+        out = disk_memo(('ssq_cwt_plan',) + key, lambda: _build_ssq_cwt_plan(
+            wavelet, N, scales, nv, ssq_freqs, maprange, was_padded, dt,
+            flipud))
+        _PLAN_CACHE[key] = out
+        return out
+    return _build_ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange,
+                               was_padded, dt, flipud)
 
+
+def _build_ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange,
+                        was_padded, dt, flipud):
     scales_np, cwt_scaletype, _, nv_ = process_scales(
         scales, N, wavelet, nv=nv, get_params=True)
 
@@ -110,11 +123,8 @@ def _ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange, was_padded,
     natural = _natural_bins('cwt', scales_np, ssq_freqs, params, flipud,
                             len(scales_np), dt)
 
-    out = (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
-           params, natural, logscale)
-    if key is not None:
-        _PLAN_CACHE[key] = out
-    return out
+    return (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
+            params, natural, logscale)
 
 
 def _apply_squeezing(Wx, squeezing):

@@ -132,6 +132,24 @@ def _cdot_axis1(wr, wi, ar, ai):
     return br, bi
 
 
+def _cdot_packed(wr, wi, a2):
+    """Complex contraction fully PACKED: a2 is (b, 2R, MK) =
+    [a_re rows | a_im rows]; ONE real dot_general with the (2F, 2R) block
+    matrix [[wr, -wi], [wi, wr]] produces (b, MK, 2F) = [br | bi] on the
+    last axis. One quarter the HBM passes of the 4-matmul form and a
+    2x wider (MXU-filling) contraction; the re/im unpack fuses into the
+    following twiddle pass.
+    """
+    w4 = jnp.concatenate([jnp.concatenate([wr, -wi], axis=1),
+                          jnp.concatenate([wi, wr], axis=1)], axis=0)
+    dn = (((1,), (1,)), ((), ()))
+    kw = dict(dimension_numbers=dn, precision=_EINSUM_PRECISION,
+              preferred_element_type=a2.dtype)
+    out = jax.lax.dot_general(a2, w4, **kw)     # (b, MK, 2F)
+    F = wr.shape[0]
+    return out[..., :F], out[..., F:]
+
+
 def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None, out_range=None,
               imag_zero=False):
     """FFT along last axis of split-complex (ar, ai), any batch.
@@ -198,8 +216,15 @@ def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None, out_range=None,
     else:
         kl_hi = f_last
 
+    # Between stages the split-complex state is kept PACKED along the
+    # next contraction axis — (b, 2, M2, K*f), flattened to (b, 2f', ...)
+    # at the next stage — so every stage is TWO dot_generals with 2R-wide
+    # (MXU-filling) block matrices instead of four half-wide ones, and
+    # XLA fuses the re/im restack into the twiddle pass (no extra HBM
+    # traffic).
     M = n
     K = 1
+    a2 = None
     out_factors = []
     for si, f in enumerate(factors):
         M2 = M // f
@@ -209,23 +234,27 @@ def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None, out_range=None,
         wr, wi = jnp.asarray(wr), jnp.asarray(wi)
         if si == 0 and rows0 < f:
             wr, wi = wr[:, :rows0], wi[:, :rows0]
-        else:
-            ar = ar.reshape(b, f, M2 * K)
-            ai = ai.reshape(b, f, M2 * K) if ai is not None else None
         if last and (kl_lo > 0 or kl_hi < f):
             wr, wi = wr[kl_lo:kl_hi], wi[kl_lo:kl_hi]
         f_out = wr.shape[0]
         out_factors.append(f_out)
 
-        # (b, R, M2*K) x (F_out, R) -> (b, M2*K, F_out)
-        if ai is None:
-            dn = (((1,), (1,)), ((), ()))
-            kw = dict(dimension_numbers=dn, precision=_EINSUM_PRECISION,
-                      preferred_element_type=ar.dtype)
-            br = jax.lax.dot_general(ar, wr, **kw)
-            bi = jax.lax.dot_general(ar, wi, **kw)
+        # (b, 2R, M2*K) x (F_out, 2R) -> (b, M2*K, F_out)
+        if si == 0:
+            if ai is None:  # real input: one dot with [wr; wi] stacked
+                w2 = jnp.concatenate([wr, wi], axis=0)  # (2F, R)
+                dn = (((1,), (1,)), ((), ()))
+                kw = dict(dimension_numbers=dn,
+                          precision=_EINSUM_PRECISION,
+                          preferred_element_type=ar.dtype)
+                out = jax.lax.dot_general(ar, w2, **kw)
+                br, bi = out[..., :f_out], out[..., f_out:]
+            else:
+                a2 = jnp.concatenate([ar, ai], axis=1)  # (b, 2*rows0, M2)
+                br, bi = _cdot_packed(wr, wi, a2)
         else:
-            br, bi = _cdot_axis1(wr, wi, ar, ai)
+            a2 = a2.reshape(b, 2 * f, M2 * K)
+            br, bi = _cdot_packed(wr, wi, a2)
         br = br.reshape(b, M2, K * f_out)
         bi = bi.reshape(b, M2, K * f_out)
 
@@ -239,8 +268,9 @@ def _fft_core(ar, ai, n, sign, dtype, nonzero_prefix=None, out_range=None,
             bi4 = bi.reshape(b, M2, K, f)
             cr = br4 * tr - bi4 * ti
             ci = br4 * ti + bi4 * tr
-            ar = cr.reshape(b, M2, K * f)
-            ai = ci.reshape(b, M2, K * f)
+            # restack packed for the next stage (fused into this pass)
+            a2 = jnp.stack([cr.reshape(b, M2, K * f),
+                            ci.reshape(b, M2, K * f)], axis=1)
         else:
             ar, ai = br, bi
         M = M2

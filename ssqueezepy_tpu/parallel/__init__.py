@@ -10,6 +10,9 @@ is a `psum` over the scale axis, and `icwt`'s scale sum likewise.
 from .mesh import make_mesh, mesh_info
 from .sharded import (sharded_ssq_cwt, sharded_cwt, ShardedSSQCWT,
                       dryrun_multichip)
+from .time_sharded import (TimeShardedSSQCWT, time_sharded_cwt,
+                           time_sharded_ssq_cwt, make_mesh_time)
 
 __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
-           'ShardedSSQCWT', 'dryrun_multichip']
+           'ShardedSSQCWT', 'dryrun_multichip', 'TimeShardedSSQCWT',
+           'time_sharded_cwt', 'time_sharded_ssq_cwt', 'make_mesh_time']

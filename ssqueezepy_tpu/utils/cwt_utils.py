@@ -384,6 +384,15 @@ def find_downsampling_scale(wavelet, scales, span=5, tol=3, method='sum',
     n_scales = len(Psih)
     n_groups = n_scales - span - 1
 
+    if not viz:
+        # C++ host-plan engine (native/planlib.cpp); exact twin of the
+        # Python loop below — falls through when no toolchain exists
+        from ..native import find_downsampling_scale_native
+        out = find_downsampling_scale_native(Psih, span, tol, nonzero_th,
+                                             nonzero_tol, method)
+        if out is not NotImplemented:
+            return out
+
     i = None
     for i in range(n_groups):
         psihs = Psih[i:i + span]
