@@ -103,6 +103,26 @@ class TimeShardedSSQCWT:
         self.n_up = _next_fft_len(n_ext)
         self.pad_extra = self.n_up - n_ext
 
+        # Scales whose time support exceeds the halo can't ride the
+        # overlap-save path (SURVEY.md §5.8c): they are computed EXACTLY on
+        # the all-gathered signal instead (few rows — log grids downsample
+        # high scales — and the gather of x itself is tiny).
+        s_ref = float(np.clip(10., scales_np.min(), scales_np.max()))
+        try:
+            sigma1 = float(time_resolution(self.wavelet, s_ref, N=N,
+                                           nondim=False,
+                                           force_int=False)) / s_ref
+        except Exception:
+            sigma1 = 3.5
+        support = halo_mult * sigma1 * scales_np.squeeze()
+        local_mask = support <= halo
+        # scales ascend, so the local set is the prefix before the first
+        # over-support scale
+        self.n_local = int(np.argmax(~local_mask)) if (~local_mask).any() \
+            else len(scales_np)
+        from ..ops.pad import pad_params
+        self.g_nup, self.g_n1, _ = pad_params(N, 'reflect')
+
         self.ssq_freqs = _compute_associated_frequencies(
             scales_np, N, self.wavelet, scaletype, maprange, True, dt,
             'cwt')
@@ -142,6 +162,9 @@ class TimeShardedSSQCWT:
         n_t = self.n_time
         derivative = self.derivative
 
+        n_local = self.n_local
+        g_nup, g_n1 = self.g_nup, self.g_n1
+
         def per_shard(xc, scales_blk, const_blk):
             # xc: (B_local, C) — this chip's chunk
             i = jax.lax.axis_index('time')
@@ -162,9 +185,28 @@ class TimeShardedSSQCWT:
                 xe = jnp.concatenate(
                     [xe, _reflect(xe, pad_extra, False)], axis=-1)
 
-            Wx, dWx = cwt_core(xe, wavelet, scales_blk, dt,
+            # overlap-save rows (support fits the halo)
+            Wx, dWx = cwt_core(xe, wavelet, scales_blk[:n_local], dt,
                                derivative=True, l1_norm=True, n1=H, N=C,
                                rpadded=False, is_2d=True)
+
+            if n_local < scales_blk.shape[0]:
+                # over-support rows: exact global convolution on the
+                # all-gathered signal, sliced to this chip's columns
+                xg = jax.lax.all_gather(xc, 'time', axis=-1, tiled=True)
+                from ..ops.pad import padsignal
+                xgp = padsignal(xg, 'reflect')
+                Wg, dWg = cwt_core(xgp, wavelet, scales_blk[n_local:], dt,
+                                   derivative=True, l1_norm=True, n1=g_n1,
+                                   N=xg.shape[-1], rpadded=False,
+                                   is_2d=True)
+                sl = (lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, i * C, C, axis=-1))
+                Wx = Complex(jnp.concatenate([Wx.re, sl(Wg.re)], axis=-2),
+                             jnp.concatenate([Wx.im, sl(Wg.im)], axis=-2))
+                dWx = Complex(
+                    jnp.concatenate([dWx.re, sl(dWg.re)], axis=-2),
+                    jnp.concatenate([dWx.im, sl(dWg.im)], axis=-2))
             # fused phase + bin + scatter on local columns
             w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
             valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
