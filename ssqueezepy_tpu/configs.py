@@ -110,6 +110,30 @@ def default_dtype():
     return get_config().dtype
 
 
+_WARNED_X64 = [False]
+
+
+def device_dtype(dtype):
+    """Resolve a requested dtype against the active JAX backend: float64
+    without x64 enabled (the TPU default — the MXU has no f64) degrades to
+    float32 with a single library-level warning instead of per-op JAX
+    truncation warnings."""
+    dtype = str(dtype)
+    if dtype == 'float64':
+        import jax
+        if not jax.config.jax_enable_x64:
+            if not _WARNED_X64[0]:
+                _WARNED_X64[0] = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "float64 requested but JAX x64 is disabled on this "
+                    "backend (TPU has no native f64); computing in float32."
+                    " Enable x64 (jax.config.update('jax_enable_x64', "
+                    "True)) on CPU for full float64.")
+            return 'float32'
+    return dtype
+
+
 def gdefaults(section, **kw):
     """Fill `None` kwargs from wavelet defaults table; analog of the
     reference's `gdefaults` (configs.py:27) without stack introspection.

@@ -225,7 +225,8 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
 
     wavelet = _process_gmw_wavelet(wavelet, l1_norm)
     wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet))
-    dtype = wavelet.dtype
+    from ..configs import device_dtype
+    dtype = device_dtype(wavelet.dtype)
 
     scales_np = _cached_scales(scales, N, wavelet, nv)
 

@@ -167,7 +167,8 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     from .cwt import _canonical_wavelet
     wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet,
                                                                  N=N))
-    dtype = wavelet.dtype
+    from ..configs import device_dtype
+    dtype = device_dtype(wavelet.dtype)
 
     # gamma default: 10 * machine epsilon (reference _ssq_cwt.py:266-267)
     if gamma is None:

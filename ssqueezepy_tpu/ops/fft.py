@@ -58,11 +58,19 @@ def set_fft_precision(precision):
 # --------------------------------------------------------------------------
 # planning (trace-time, numpy)
 # --------------------------------------------------------------------------
+# largest radix for a balanced TWO-stage split. Each stage is HBM-bound
+# (~2.4 GB/stage at the benchmark shape), so fewer stages beat fewer MACs
+# as long as per-stage MACs stay under the MXU roofline; 1024-wide
+# contractions on fp32 data are still memory-bound on this chip.
+_MAX_RADIX_2STAGE = 1024
+
+
+@functools.lru_cache(maxsize=1024)
 def _factorize(n):
-    """Factor n into radices <= _MAX_RADIX (large primes kept whole)."""
-    factors = []
+    """Factor n into matmul radices: a balanced 2-factor split when both
+    factors fit `_MAX_RADIX_2STAGE` (minimizes memory passes), else
+    radices <= _MAX_RADIX (large primes kept whole)."""
     m = n
-    # peel small primes, then greedily merge into large radices
     primes = []
     for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53,
               59, 61):
@@ -72,7 +80,29 @@ def _factorize(n):
     if m > 1:
         # remaining part is prime (or a product of primes > 61; treat whole)
         primes.append(m)
-    # merge small primes into radices as close to _MAX_RADIX as possible
+
+    # try a balanced 2-stage split (skip tiny n — a single direct DFT
+    # matmul is cheaper below _MAX_RADIX)
+    if n > _MAX_RADIX and all(p <= _MAX_RADIX_2STAGE for p in primes):
+        best = None
+        for mask in range(1 << len(primes)):
+            a = 1
+            for i, p in enumerate(primes):
+                if mask & (1 << i):
+                    a *= p
+            b = n // a
+            if 1 < a <= _MAX_RADIX_2STAGE and 1 < b <= _MAX_RADIX_2STAGE:
+                key = (abs(a - b), a + b)
+                if best is None or key < best[0]:
+                    best = (key, a, b)
+        if best is not None:
+            a, b = best[1], best[2]
+            factors = sorted((a, b), reverse=True)
+            assert int(np.prod(factors)) == n, (factors, n)
+            return factors
+
+    # fallback: merge small primes into radices close to _MAX_RADIX
+    factors = []
     primes.sort(reverse=True)
     cur = 1
     for p in primes:

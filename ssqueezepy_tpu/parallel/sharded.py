@@ -264,4 +264,15 @@ def dryrun_multichip(n_devices):
     jax.block_until_ready(g)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+    # time-sharded (context-parallel) path: ring halo exchange + exact
+    # global rows for over-support scales
+    from .time_sharded import TimeShardedSSQCWT, make_mesh_time
+    tmesh = make_mesh_time(batch=batch_axis, time=n_devices // batch_axis,
+                           devices=devices)
+    tplan = TimeShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                              nv=8, mesh=tmesh)
+    Tt, Wt, dWt = tplan(x)
+    jax.block_until_ready(Tt.re)
+    assert np.isfinite(np.asarray(Tt.re)).all()
     return True

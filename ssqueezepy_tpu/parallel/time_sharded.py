@@ -95,7 +95,8 @@ class TimeShardedSSQCWT:
         if halo is None:
             halo = _default_halo(self.wavelet, max_scale, self.C,
                                  halo_mult)
-        halo = int(min(halo, self.C))
+        # reflect at the signal boundary provides at most C-1 samples
+        halo = int(min(halo, self.C - 1))
         self.halo = halo
         # extended chunk, padded up to a 64-smooth length for the
         # matmul-FFT engine
