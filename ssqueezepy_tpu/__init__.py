@@ -36,8 +36,11 @@ from .ops.diff import trigdiff
 
 from .models.wavelets import (Wavelet, morlet, bump, cmhat, hhhat,
                               center_frequency, freq_resolution,
-                              time_resolution)
-from .models.gmw import gmw, compute_gmw, morsewave, morsefreq
+                              time_resolution, afftshift, aifftshift,
+                              isinstance_by_name)
+from .models.gmw import (gmw, compute_gmw, morsewave, morsefreq,
+                         gmw_l1, gmw_l2, gmw_l1_k, gmw_l2_k, laguerre,
+                         morseafun)
 from .models.cwt import cwt, icwt, cwt_higher_order
 from .models.stft import stft, istft
 from .models.windows import get_window

@@ -422,6 +422,15 @@ def _wrap_custom(fn):
 # analytic fftshifts (reference wavelets.py:932-964): analytic wavelets
 # file the Nyquist bin under the POSITIVE half, unlike FFT convention
 # --------------------------------------------------------------------------
+def isinstance_by_name(obj, ref):
+    """isinstance by qualified class name — robust to module reloads
+    (reference wavelets.py:978-984)."""
+    def _class_name(o):
+        name = getattr(o, '__qualname__', getattr(o, '__name__', ''))
+        return (getattr(o, '__module__', '') + '.' + name).lstrip('.')
+    return _class_name(type(obj)) == _class_name(ref)
+
+
 def afftshift(xh):
     """Even N: moves the right N//2+1 bins to the left, i.e. roll by
     -(N//2 - 1); odd N: plain fftshift."""
