@@ -114,6 +114,19 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
     else:
         xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1,
                  imag_zero=True)
+
+    # fully-fused Pallas path: synthesis + both IFFT stages + derivative
+    # stay VMEM-resident per scale row (ops/cwt_pallas.py)
+    if out_range is not None and not is_2d:
+        from ..configs import backend, get_config
+        if backend() == 'tpu' and get_config().use_pallas:
+            from ..ops.cwt_pallas import (cwt_fused_pallas,
+                                          cwt_pallas_applicable)
+            if cwt_pallas_applicable(wavelet, n_up, is_2d):
+                psih_probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+                if not isinstance(psih_probe, tuple):  # real-valued psih
+                    return cwt_fused_pallas(xh, scales_j, wavelet, n_up,
+                                            n1, N, dt, derivative, l1_norm)
     if is_2d:
         xh = Complex(xh.re[:, None], xh.im[:, None])
 

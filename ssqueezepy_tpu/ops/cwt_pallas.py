@@ -1,0 +1,222 @@
+# -*- coding: utf-8 -*-
+"""Fully-fused Pallas CWT kernel: filterbank synthesis + 2-stage matmul
+IFFT + spectral derivative, VMEM-resident per scale row.
+
+The XLA cwt_core materializes every FFT stage to HBM (~2.4 GB/stage at
+the benchmark shape — each stage is a pure memory pass). This kernel keeps
+one scale row's whole pipeline in VMEM: synthesize `psih` on the half
+grid, multiply by the (resident) signal spectrum, run both IFFT stages as
+in-VMEM MXU matmuls with the twiddle fused between, and write only the
+unpadded time range. The derivative row (`dWx`) reuses the same structure
+with the spectral `1j*xi/dt` pre-multiply. Only the outputs ever touch
+HBM (~0.75 GB vs ~10 GB for the staged XLA path).
+
+Grid = (na,); constants (DFT matrices, twiddle, spectrum, xi grid) have
+constant index maps, so Mosaic hoists their copies out of the grid loop.
+
+Used when: analytic real-valued wavelet, 1D input, 2-factor FFT length.
+Everything else falls back to the XLA path in models/cwt.py (which is
+also the correctness reference for this kernel's tests).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .complexlib import Complex
+
+__all__ = ['cwt_fused_pallas', 'cwt_pallas_applicable']
+
+# Mosaic lowers fp32 dots through the full-precision path regardless of
+# the precision flag (measured: DEFAULT == HIGHEST in-kernel), so fp32
+# accuracy at 2x the speed comes from a MANUAL bf16x3 split: a = hi + lo
+# with hi = bf16(a); (hi+lo)(hi'+lo') ~= hi hi' + hi lo' + lo hi'
+# (the lo*lo' term is below fp32 rounding). Three native-rate bf16 MXU
+# passes vs six for the fp32 path; ~1e-7 relative end-to-end (asserted
+# vs the XLA path in tests).
+_PREC = jax.lax.Precision.DEFAULT
+
+
+def _dot(a, b):
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(dimension_numbers=dn, precision=_PREC,
+              preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(a_hi, b_hi, **kw) +
+            jax.lax.dot_general(a_hi, b_lo, **kw) +
+            jax.lax.dot_general(a_lo, b_hi, **kw))
+
+
+def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
+                 dtype):
+    # k1 is processed in halves to keep scoped-VMEM temporaries under the
+    # 16 MB stack limit (stage-1/twiddle/stage-2 intermediates halve)
+    nh = 2 if f1 % 16 == 0 else 1
+    hk1 = f1 // nh
+
+    def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
+               tre_r, tim_r, w2re_r, w2im_r, outre_r, outim_r):
+        scale = scale_r[pl.program_id(0), 0]
+        xi = xi_r[:]                                   # (rows0, f2)
+        # xh arrives pre-masked (pad zeros + Nyquist/2 folded in outside)
+        psih = wavelet_fn(scale * xi, xp=jnp)
+        if not l1_norm:
+            psih = psih * jnp.sqrt(scale)
+        Pre = psih * xhre_r[:]
+        Pim = psih * xhim_r[:]
+        if deriv:
+            # spectral derivative: multiply by 1j * xi / dt
+            xid = xi * invdt_r[0, 0]
+            Pre, Pim = -xid * Pim, xid * Pre
+
+        w2re, w2im = w2re_r[:], w2im_r[:]              # (f2, k2span)
+        for h in range(nh):
+            sl = slice(h * hk1, (h + 1) * hk1)
+            # stage 1: A[k1, m2] = sum_m1 W[k1, m1] P[m1, m2]
+            wre, wim = wre_r[sl], wim_r[sl]            # (hk1, rows0)
+            Are = _dot(wre, Pre) - _dot(wim, Pim)
+            Aim = _dot(wre, Pim) + _dot(wim, Pre)
+            # twiddle W_n^{k1 m2}
+            tre, tim = tre_r[sl], tim_r[sl]            # (hk1, f2)
+            Atre = Are * tre - Aim * tim
+            Atim = Are * tim + Aim * tre
+            # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
+            Ere = _dot(Atre, w2re) - _dot(Atim, w2im)  # (hk1, k2span)
+            outre_r[0, :, sl] = Ere.T
+            Eim = _dot(Atre, w2im) + _dot(Atim, w2re)
+            outim_r[0, :, sl] = Eim.T
+
+    return kernel
+
+
+def cwt_pallas_applicable(wavelet, n_up, is_2d):
+    """True when the fused kernel handles this configuration."""
+    from ..models.cwt import _is_analytic
+    from .fft import _factorize
+    if is_2d:
+        return False
+    if not _is_analytic(wavelet):
+        return False
+    factors = _factorize(n_up)
+    if len(factors) != 2:
+        return False
+    f1, f2 = factors
+    # VMEM budget and tiling sanity (blocks are full-array, so any f2
+    # lowers; lane efficiency degrades below 128)
+    return (f1 % 8 == 0 and f2 % 64 == 0 and f1 <= 1024 and f2 <= 1024)
+
+
+@functools.partial(
+    jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
+                              'l1_norm', 'dtype', 'interpret'))
+def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
+                    deriv, l1_norm, dtype, interpret=False):
+    from .fft import _factorize, _dft_matrix_np, _twiddle_np
+    wavelet = wavelet_ref[0]
+    f1, f2 = _factorize(n_up)
+    prefix = n_up // 2 + 1
+    rows0 = -(-prefix // f2)
+    # output digit range: time index n = k1 + f1*k2 (engine convention),
+    # so n in [n1, n1+N) restricts k2 to [n1 // f1, ceil((n1+N) / f1))
+    k2lo = n1 // f1
+    k2hi = -(-(n1 + N) // f1)
+    k2span = k2hi - k2lo
+
+    na = scales.shape[0]
+    dt_s = str(dtype)
+
+    # constants (trace-time numpy)
+    from ..models.wavelets import _xifn
+    xi_full = _xifn(1., n_up, np.float64)[:prefix]
+    xi_blk = np.zeros((rows0, f2), np.float64)
+    xi_blk.ravel()[:prefix] = xi_full
+    nyq = np.zeros((rows0, f2), np.float64)
+    nyq.ravel()[:prefix] = 1.0
+    if n_up % 2 == 0:
+        nyq.ravel()[prefix - 1] = 0.5
+
+    wre, wim = _dft_matrix_np(f1, +1, 'float64')       # (f1, f1)
+    wre = (wre[:, :rows0] / n_up).astype(dt_s)         # fold 1/n into W
+    wim = (wim[:, :rows0] / n_up).astype(dt_s)
+    tre, tim = _twiddle_np(n_up, f1, f2, +1, 'float64')  # (f1, f2)
+    tre, tim = tre.astype(dt_s), tim.astype(dt_s)
+    w2re, w2im = _dft_matrix_np(f2, +1, 'float64')     # (f2, f2)
+    w2re = np.ascontiguousarray(w2re[k2lo:k2hi].T).astype(dt_s)  # (f2, span)
+    w2im = np.ascontiguousarray(w2im[k2lo:k2hi].T).astype(dt_s)
+
+    # signal spectrum block (zero-padded to rows0*f2) with the Nyquist
+    # halving + pad mask folded in (psih*nyq*xh == psih*(nyq*xh))
+    pad = rows0 * f2 - prefix
+    nyq_j = jnp.asarray(nyq.reshape(-1), dt_s)
+    xr = (jnp.pad(xh_re, (0, pad)) * nyq_j).reshape(rows0, f2)
+    xi_ = (jnp.pad(xh_im, (0, pad)) * nyq_j).reshape(rows0, f2)
+
+    out_w = k2span * f1
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((na, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        const((rows0, f2)), const((rows0, f2)), const((rows0, f2)),
+        const((f1, rows0)), const((f1, rows0)),
+        const((f1, f2)), const((f1, f2)),
+        const((f2, k2span)), const((f2, k2span)),
+    ]
+    out_specs = (pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM))
+
+    kernel = _make_kernel(wavelet.fn, rows0, f1, f2, k2span, deriv,
+                          l1_norm, jnp.dtype(dt_s))
+    args = [scales.reshape(na, 1).astype(dt_s),
+            jnp.asarray(inv_dt, dt_s).reshape(1, 1),
+            jnp.asarray(xi_blk, dt_s), xr.astype(dt_s), xi_.astype(dt_s),
+            jnp.asarray(wre), jnp.asarray(wim),
+            jnp.asarray(tre), jnp.asarray(tim),
+            jnp.asarray(w2re), jnp.asarray(w2im)]
+
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(na,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(jax.ShapeDtypeStruct((na, k2span, f1), dt_s),
+                   jax.ShapeDtypeStruct((na, k2span, f1), dt_s)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    off = n1 - k2lo * f1
+    out_re = out_re.reshape(na, out_w)[:, off:off + N]
+    out_im = out_im.reshape(na, out_w)[:, off:off + N]
+    return out_re, out_im
+
+
+def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
+                     l1_norm, interpret=False):
+    """Fused CWT rows from the HALF spectrum `xh` (Complex, length
+    n_up//2+1). Returns (Wx, dWx or None), unpadded natural order."""
+    wavelet_ref = (wavelet,)
+    dtype = str(xh.re.dtype)
+    scales = scales_j.reshape(-1)
+    one = jnp.asarray(1.0, dtype)
+    Wr, Wi = _cwt_fused_call(xh.re, xh.im, scales, one, wavelet_ref,
+                             int(n_up), int(n1), int(N), False,
+                             bool(l1_norm), dtype, interpret)
+    Wx = Complex(Wr, Wi)
+    dWx = None
+    if derivative:
+        dr, di = _cwt_fused_call(xh.re, xh.im, scales,
+                                 jnp.asarray(1. / dt, dtype),
+                                 wavelet_ref, int(n_up), int(n1), int(N),
+                                 True, bool(l1_norm), dtype, interpret)
+        dWx = Complex(dr, di)
+    return Wx, dWx

@@ -97,7 +97,9 @@ def _factorize(n):
                     best = (key, a, b)
         if best is not None:
             a, b = best[1], best[2]
-            factors = sorted((a, b), reverse=True)
+            # ascending: a smaller FIRST factor gives finer out_range
+            # granularity (last digit stride = f1) and a lane-aligned f2
+            factors = sorted((a, b))
             assert int(np.prod(factors)) == n, (factors, n)
             return factors
 

@@ -1,0 +1,62 @@
+# -*- coding: utf-8 -*-
+"""Fused Pallas CWT kernel (interpret mode) vs the XLA cwt_core —
+the "same math, N execution paths" pattern (SURVEY.md §4.2)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ssqueezepy_tpu.models.wavelets import Wavelet
+from ssqueezepy_tpu.models.cwt import (cwt_core, _process_gmw_wavelet,
+                                       _canonical_wavelet)
+from ssqueezepy_tpu.ops.cwt_pallas import (cwt_fused_pallas,
+                                           cwt_pallas_applicable)
+from ssqueezepy_tpu.ops.fft import fft
+from ssqueezepy_tpu.ops.pad import padsignal, pad_params
+from ssqueezepy_tpu.ops.complexlib import Complex
+from ssqueezepy_tpu.utils.cwt_utils import process_scales
+
+
+def _setup(N, wav=('gmw', {'dtype': 'float32'}), scales='log', nv=16):
+    n_up, n1, _ = pad_params(N, 'reflect')
+    w = _canonical_wavelet(Wavelet._init_if_not_isinstance(
+        _process_gmw_wavelet(wav, True), N=N))
+    x = np.random.default_rng(0).standard_normal(N).astype(np.float32)
+    xp = padsignal(jnp.asarray(x), 'reflect')
+    scales_j = jnp.asarray(process_scales(scales, N, w, nv=nv), jnp.float32)
+    return w, xp, scales_j, n_up, n1
+
+
+@pytest.mark.parametrize('N,dt,l1', [(3000, 0.5, True), (2048, 1.0, True),
+                                     (3000, 1.0, False)])
+def test_fused_cwt_matches_xla(N, dt, l1):
+    w, xp, scales_j, n_up, n1 = _setup(N)
+    assert cwt_pallas_applicable(w, n_up, False)
+
+    Wx_r, dWx_r = jax.jit(lambda a, s: cwt_core(
+        a, w, s, dt, True, l1, n1, N, False, False))(xp, scales_j)
+    half = n_up // 2 + 1
+    xh = fft(Complex(xp, jnp.zeros_like(xp)), out_range=(0, half),
+             imag_zero=True, engine='matmul')
+    Wx_p, dWx_p = cwt_fused_pallas(xh, scales_j, w, n_up, n1, N, dt,
+                                   True, l1, interpret=True)
+    m = float(jnp.abs(Wx_r.re).max())
+    md = float(jnp.abs(dWx_r.re).max())
+    assert float(jnp.abs(Wx_p.re - Wx_r.re).max()) / m < 2e-5
+    assert float(jnp.abs(Wx_p.im - Wx_r.im).max()) / m < 2e-5
+    assert float(jnp.abs(dWx_p.re - dWx_r.re).max()) / md < 2e-5
+    assert float(jnp.abs(dWx_p.im - dWx_r.im).max()) / md < 2e-5
+
+
+def test_fused_cwt_beta_variant():
+    w, xp, scales_j, n_up, n1 = _setup(
+        3000, ('gmw', {'beta': 8., 'dtype': 'float32'}))
+    Wx_r, _ = jax.jit(lambda a, s: cwt_core(
+        a, w, s, 1.0, False, True, n1, 3000, False, False))(xp, scales_j)
+    half = n_up // 2 + 1
+    xh = fft(Complex(xp, jnp.zeros_like(xp)), out_range=(0, half),
+             imag_zero=True, engine='matmul')
+    Wx_p, _ = cwt_fused_pallas(xh, scales_j, w, n_up, n1, 3000, 1.0,
+                               False, True, interpret=True)
+    m = float(jnp.abs(Wx_r.re).max())
+    assert float(jnp.abs(Wx_p.re - Wx_r.re).max()) / m < 2e-5
