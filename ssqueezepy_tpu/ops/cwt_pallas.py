@@ -55,13 +55,14 @@ def _dot(a, b):
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                  dtype):
-    # k1 is processed in halves to keep scoped-VMEM temporaries under the
-    # 16 MB stack limit (stage-1/twiddle/stage-2 intermediates halve)
+    # k1 is processed in halves to bound VMEM temporaries
+    # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
 
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
-               tre_r, tim_r, w2re_r, w2im_r, outre_r, outim_r):
+               tre_r, tim_r, w2re_r, w2im_r, *outs):
+        # outs: (Wre, Wim[, dre, dim]) when deriv else (Wre, Wim)
         scale = scale_r[pl.program_id(0), 0]
         xi = xi_r[:]                                   # (rows0, f2)
         # xh arrives pre-masked (pad zeros + Nyquist/2 folded in outside)
@@ -70,27 +71,31 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
             psih = psih * jnp.sqrt(scale)
         Pre = psih * xhre_r[:]
         Pim = psih * xhim_r[:]
-        if deriv:
-            # spectral derivative: multiply by 1j * xi / dt
-            xid = xi * invdt_r[0, 0]
-            Pre, Pim = -xid * Pim, xid * Pre
 
         w2re, w2im = w2re_r[:], w2im_r[:]              # (f2, k2span)
-        for h in range(nh):
-            sl = slice(h * hk1, (h + 1) * hk1)
-            # stage 1: A[k1, m2] = sum_m1 W[k1, m1] P[m1, m2]
-            wre, wim = wre_r[sl], wim_r[sl]            # (hk1, rows0)
-            Are = _dot(wre, Pre) - _dot(wim, Pim)
-            Aim = _dot(wre, Pim) + _dot(wim, Pre)
-            # twiddle W_n^{k1 m2}
-            tre, tim = tre_r[sl], tim_r[sl]            # (hk1, f2)
-            Atre = Are * tre - Aim * tim
-            Atim = Are * tim + Aim * tre
-            # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
-            Ere = _dot(Atre, w2re) - _dot(Atim, w2im)  # (hk1, k2span)
-            outre_r[0, :, sl] = Ere.T
-            Eim = _dot(Atre, w2im) + _dot(Atim, w2re)
-            outim_r[0, :, sl] = Eim.T
+
+        def pipeline(Pre, Pim, out_re_r, out_im_r):
+            for h in range(nh):
+                sl = slice(h * hk1, (h + 1) * hk1)
+                # stage 1: A[k1, m2] = sum_m1 W[k1, m1] P[m1, m2]
+                wre, wim = wre_r[sl], wim_r[sl]        # (hk1, rows0)
+                Are = _dot(wre, Pre) - _dot(wim, Pim)
+                Aim = _dot(wre, Pim) + _dot(wim, Pre)
+                # twiddle W_n^{k1 m2}
+                tre, tim = tre_r[sl], tim_r[sl]        # (hk1, f2)
+                Atre = Are * tre - Aim * tim
+                Atim = Are * tim + Aim * tre
+                # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
+                Ere = _dot(Atre, w2re) - _dot(Atim, w2im)  # (hk1, k2span)
+                out_re_r[0, :, sl] = Ere.T
+                Eim = _dot(Atre, w2im) + _dot(Atim, w2re)
+                out_im_r[0, :, sl] = Eim.T
+
+        pipeline(Pre, Pim, outs[0], outs[1])
+        if deriv:
+            # spectral derivative: multiply spectrum by 1j * xi / dt
+            xid = xi * invdt_r[0, 0]
+            pipeline(-xid * Pim, xid * Pre, outs[2], outs[3])
 
     return kernel
 
@@ -169,10 +174,9 @@ def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
         const((f1, f2)), const((f1, f2)),
         const((f2, k2span)), const((f2, k2span)),
     ]
-    out_specs = (pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
-                              memory_space=pltpu.VMEM))
+    n_out = 4 if deriv else 2
+    out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(wavelet.fn, rows0, f1, f2, k2span, deriv,
                           l1_norm, jnp.dtype(dt_s))
@@ -183,40 +187,33 @@ def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
             jnp.asarray(tre), jnp.asarray(tim),
             jnp.asarray(w2re), jnp.asarray(w2im)]
 
-    out_re, out_im = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(na,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=(jax.ShapeDtypeStruct((na, k2span, f1), dt_s),
-                   jax.ShapeDtypeStruct((na, k2span, f1), dt_s)),
+        out_specs=(out_spec,) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((na, k2span, f1), dt_s),) * n_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     off = n1 - k2lo * f1
-    out_re = out_re.reshape(na, out_w)[:, off:off + N]
-    out_im = out_im.reshape(na, out_w)[:, off:off + N]
-    return out_re, out_im
+    return tuple(o.reshape(na, out_w)[:, off:off + N] for o in outs)
 
 
 def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
                      l1_norm, interpret=False):
     """Fused CWT rows from the HALF spectrum `xh` (Complex, length
-    n_up//2+1). Returns (Wx, dWx or None), unpadded natural order."""
+    n_up//2+1). Returns (Wx, dWx or None), unpadded natural order.
+    Both pipelines (Wx and its spectral derivative) run in ONE kernel,
+    sharing the synthesized filterbank row and resident constants."""
     wavelet_ref = (wavelet,)
     dtype = str(xh.re.dtype)
     scales = scales_j.reshape(-1)
-    one = jnp.asarray(1.0, dtype)
-    Wr, Wi = _cwt_fused_call(xh.re, xh.im, scales, one, wavelet_ref,
-                             int(n_up), int(n1), int(N), False,
-                             bool(l1_norm), dtype, interpret)
-    Wx = Complex(Wr, Wi)
-    dWx = None
-    if derivative:
-        dr, di = _cwt_fused_call(xh.re, xh.im, scales,
-                                 jnp.asarray(1. / dt, dtype),
-                                 wavelet_ref, int(n_up), int(n1), int(N),
-                                 True, bool(l1_norm), dtype, interpret)
-        dWx = Complex(dr, di)
+    inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
+    outs = _cwt_fused_call(xh.re, xh.im, scales, inv_dt, wavelet_ref,
+                           int(n_up), int(n1), int(N), bool(derivative),
+                           bool(l1_norm), dtype, interpret)
+    Wx = Complex(outs[0], outs[1])
+    dWx = Complex(outs[2], outs[3]) if derivative else None
     return Wx, dWx
