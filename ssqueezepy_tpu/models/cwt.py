@@ -175,14 +175,22 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
 
 @functools.lru_cache(maxsize=64)
 def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
-             rpadded, is_2d, wavelet_ref):
-    """Cached jitted forward CWT; `wavelet_ref` is a weak holder tuple."""
+             rpadded, is_2d, wavelet_ref, padtype='reflect'):
+    """Cached jitted forward CWT (raw signal in; scrub + pad inside the
+    jit — eager device ops cost a dispatch round trip each on the
+    tunneled backend); `wavelet_ref` is a weak holder tuple."""
     wavelet = wavelet_ref[0]
 
-    def run(xp_pad, scales_j, dt):
+    def run(xj, scales_j, dt):
+        xj = xj.astype(dtype)
+        xj = jnp.where(jnp.isfinite(xj), xj, 0)
+        xp_pad = padsignal(xj, padtype) if padtype is not None else xj
         return cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm,
                         n1, N, rpadded, is_2d)
     return jax.jit(run)
+
+
+_SCALES_DEV_CACHE = {}
 
 
 _SCALES_CACHE = {}
@@ -248,16 +256,20 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
     else:
         n_up, n1 = N, 0
 
-    # device-side: pad (cheap) then run the cached jitted core
     xj = jnp.asarray(xnp, dtype=dtype)
-    xj = jnp.where(jnp.isfinite(xj), xj, 0)  # nan/inf scrub (fused)
-    xp_pad = padsignal(xj, padtype) if padtype is not None else xj
 
     runner = _cwt_jit(_wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N,
                       bool(derivative), bool(l1_norm), bool(rpadded), is_2d,
-                      (wavelet,))
-    scales_j = jnp.asarray(scales_np, dtype=dtype)
-    Wx, dWx = runner(xp_pad, scales_j, np.asarray(dt, dtype))
+                      (wavelet,), padtype)
+    if isinstance(scales, str):
+        skey = (scales, N, _wavelet_key(wavelet), nv, dtype)
+        scales_j = _SCALES_DEV_CACHE.get(skey)
+        if scales_j is None:
+            scales_j = jnp.asarray(scales_np, dtype=dtype)
+            _SCALES_DEV_CACHE[skey] = scales_j
+    else:
+        scales_j = jnp.asarray(scales_np, dtype=dtype)
+    Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype))
 
     scales_out = scales_np.squeeze()
     if not astensor:

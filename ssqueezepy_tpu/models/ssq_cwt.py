@@ -34,14 +34,19 @@ __all__ = ['ssq_cwt', 'issq_cwt']
 @functools.lru_cache(maxsize=32)
 def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                  flipud, squeezing, param_items, gamma, Sfs_none,
-                 natural_key, wavelet_ref, const_key):
-    """Cached fused jit: padded signal -> (Tx, Wx, dWx)."""
+                 natural_key, wavelet_ref, const_key, padtype='reflect'):
+    """Cached fused jit: RAW signal -> (Tx, Wx, dWx). NaN scrub and
+    padding run inside the jit (eager device ops cost a full dispatch
+    round trip each on the tunneled backend)."""
     wavelet = wavelet_ref[0]
     params = dict(param_items)
     natural_bins = np.asarray(natural_key, np.int32) if natural_key \
         else None
 
-    def run(xp_pad, scales_j, dt, const):
+    def run(xj, scales_j, dt, const):
+        xj = xj.astype(dtype)
+        xj = jnp.where(jnp.isfinite(xj), xj, 0)
+        xp_pad = padsignal(xj, padtype) if padtype is not None else xj
         Wx, dWx = cwt_core(xp_pad, wavelet, scales_j, dt, True, l1_norm,
                            n1, N, rpadded=False, is_2d=is_2d)
         Wx_s = _apply_squeezing(Wx, squeezing)
@@ -51,6 +56,23 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                            params=params, natural_bins=natural_bins)
         return Tx, Wx, dWx
     return jax.jit(run)
+
+
+_DEV_CACHE = {}
+
+
+def _device_plan_arrays(key, scales_np, const, dtype):
+    """Per-plan device copies of (scales, const) so repeat calls skip the
+    host->device transfers."""
+    if key is not None:
+        hit = _DEV_CACHE.get((key, dtype))
+        if hit is not None:
+            return hit
+    out = (jnp.asarray(scales_np, dtype=dtype),
+           jnp.asarray(np.asarray(const, dtype), dtype=dtype))
+    if key is not None:
+        _DEV_CACHE[(key, dtype)] = out
+    return out
 
 
 _PLAN_CACHE = {}
@@ -176,6 +198,12 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     gamma = float(gamma)
 
     was_padded = bool(padtype is not None)
+    devkey = None
+    if (isinstance(scales, str) and
+            (ssq_freqs is None or isinstance(ssq_freqs, str)) and
+            not isinstance(maprange, (tuple, list))):
+        devkey = (_wavelet_key(wavelet), N, scales, nv, ssq_freqs,
+                  maprange, was_padded, float(dt), bool(flipud))
     (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
      params, natural, logscale) = _ssq_cwt_plan(
         wavelet, N, scales, nv, ssq_freqs, maprange, was_padded, dt,
@@ -197,18 +225,16 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         n_up, n1 = N, 0
 
     xj = jnp.asarray(xnp, dtype=dtype)
-    xj = jnp.where(jnp.isfinite(xj), xj, 0)
-    xp_pad = padsignal(xj, padtype) if padtype is not None else xj
 
     runner = _ssq_cwt_jit(
         _wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N, True, is_2d,
         bool(flipud), squeezing if isinstance(squeezing, str) else None,
         tuple(sorted(params.items())), gamma, True,
         tuple(natural.tolist()) if natural is not None else None,
-        (wavelet,), str(np.asarray(const).shape))
-    scales_j = jnp.asarray(scales_np, dtype=dtype)
-    const_j = jnp.asarray(np.asarray(const, dtype), dtype=dtype)
-    Tx, Wx, dWx = runner(xp_pad, scales_j, np.asarray(dt, dtype), const_j)
+        (wavelet,), str(np.asarray(const).shape), padtype)
+    scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
+                                            dtype)
+    Tx, Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype), const_j)
 
     # for CWT, ssq_freqs are always returned reversed (reference
     # ssqueezing.py:217-222: flips when `(cwt and not flipud) or flipud`)

@@ -32,12 +32,14 @@ __all__ = ['stft', 'istft']
 
 @functools.lru_cache(maxsize=32)
 def _stft_jit(shape, dtype, n_fft, hop_len, n1, modulated, derivative,
-              is_2d, win_key):
+              is_2d, win_key, padtype='reflect', padlength=None):
     window, diff_window = _WINDOW_CACHE[win_key]
     win_j = jnp.asarray(window)
     dwin_j = jnp.asarray(diff_window) if diff_window is not None else None
 
-    def run(xp_pad, fs):
+    def run(xj, fs):
+        xj = xj.astype(dtype)
+        xp_pad = padsignal(xj, padtype, padlength=padlength)
         Sxb = buffer(xp_pad, n_fft, n_fft - hop_len, modulated)
         w = ifftshift(win_j) if modulated else win_j
         reshape = (-1, 1) if not is_2d else (1, -1, 1)
@@ -85,13 +87,12 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
 
     padlength = N + n_fft - 1
     xj = jnp.asarray(xnp, dtype=dtype)
-    xp = padsignal(xj, padtype, padlength=padlength)
 
     runner = _stft_jit(xnp.shape, dtype, n_fft, int(hop_len), 0,
                        bool(modulated), bool(derivative), is_2d,
                        _window_key(window, diff_window if derivative
-                                   else None))
-    Sx, dSx = runner(xp, np.asarray(fs_, dtype))
+                                   else None), padtype, padlength)
+    Sx, dSx = runner(xj, np.asarray(fs_, dtype))
     return (Sx, dSx) if derivative else Sx
 
 
