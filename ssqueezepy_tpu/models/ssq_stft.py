@@ -65,15 +65,20 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         ssq_freqs = Sfs
     const = float(ssq_freqs[1] - ssq_freqs[0])
     params = ssq_bin_params(ssq_freqs, logscale=False)
+    from .ssqueezing import _natural_bins
+    n_rows = Sx.shape[-2]
+    natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
+                            n_rows, 1. / fs_)
 
     if w is None:
         Tx = ssqueeze_fast(Sx, _dSx, ssq_freqs, const, logscale=False,
                            flipud=flipud, gamma=gamma,
                            Sfs=jnp.asarray(Sfs, str(Sx.dtype)),
-                           params=params)
+                           params=params, natural_bins=natural)
     else:
         Tx = indexed_sum_onfly(Sx, w, ssq_freqs, const, logscale=False,
-                               flipud=flipud, params=params)
+                               flipud=flipud, params=params,
+                               natural_bins=natural)
 
     ssq_freqs_out = (np.asarray(ssq_freqs)[::-1].copy() if flipud
                      else np.asarray(ssq_freqs))
