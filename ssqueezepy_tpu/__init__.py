@@ -33,6 +33,10 @@ from .ops.framing import (buffer, unbuffer, window_norm, window_resolution,
                           window_area)
 from .ops.pad import padsignal
 from .ops.diff import trigdiff
+from .ops.elementwise import (replace_at_inf_or_nan, replace_at_inf,
+                              replace_at_nan, replace_at_value,
+                              replace_under_abs, zero_denormals, nCk)
+from .ops.search import find_maximum, find_first_occurrence
 
 from .models.wavelets import (Wavelet, morlet, bump, cmhat, hhhat,
                               center_frequency, freq_resolution,
