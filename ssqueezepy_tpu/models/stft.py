@@ -87,12 +87,20 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
 
     padlength = N + n_fft - 1
     xj = jnp.asarray(xnp, dtype=dtype)
+    win_key = _window_key(window, diff_window if derivative else None)
 
-    runner = _stft_jit(xnp.shape, dtype, n_fft, int(hop_len), 0,
-                       bool(modulated), bool(derivative), is_2d,
-                       _window_key(window, diff_window if derivative
-                                   else None), padtype, padlength)
-    Sx, dSx = runner(xj, np.asarray(fs_, dtype))
+    from ..configs import backend
+    from ..ops.stft_conv import stft_conv, stft_conv_applicable
+    if stft_conv_applicable(int(hop_len), backend()):
+        # hop=1: each row is an exact FFT cross-correlation — one long
+        # FFT + batched 2-stage IFFT beats framing + short-axis FFTs
+        Sx, dSx = stft_conv(xj, fs_, n_fft, N, win_key, bool(modulated),
+                            bool(derivative), padtype, padlength, dtype)
+    else:
+        runner = _stft_jit(xnp.shape, dtype, n_fft, int(hop_len), 0,
+                           bool(modulated), bool(derivative), is_2d,
+                           win_key, padtype, padlength)
+        Sx, dSx = runner(xj, np.asarray(fs_, dtype))
     return (Sx, dSx) if derivative else Sx
 
 
