@@ -122,6 +122,16 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
                               'l1_norm', 'dtype', 'interpret'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                     deriv, l1_norm, dtype, interpret=False):
+    # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
+    # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
+    # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
+    # per-m3-sliced hybrids measured net-neutral. Balanced 2-stage it is.
+    return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
+                            n_up, n1, N, deriv, l1_norm, dtype, interpret)
+
+
+def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
+                     deriv, l1_norm, dtype, interpret=False):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
