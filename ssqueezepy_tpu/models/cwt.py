@@ -116,8 +116,9 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
                  imag_zero=True)
 
     # fully-fused Pallas path: synthesis + both IFFT stages + derivative
-    # stay VMEM-resident per scale row (ops/cwt_pallas.py)
-    if out_range is not None and not is_2d:
+    # stay VMEM-resident per scale row (ops/cwt_pallas.py); batched
+    # inputs run with grid = (B*na,)
+    if out_range is not None and analytic:
         from ..configs import backend, get_config
         if backend() == 'tpu' and get_config().use_pallas:
             from ..ops.cwt_pallas import (cwt_fused_pallas,

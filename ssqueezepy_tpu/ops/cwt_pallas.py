@@ -54,7 +54,7 @@ def _dot(a, b):
 
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
-                 dtype):
+                 dtype, na_mod=None):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
@@ -63,14 +63,20 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
                tre_r, tim_r, w2re_r, w2im_r, *outs):
         # outs: (Wre, Wim[, dre, dim]) when deriv else (Wre, Wim)
-        scale = scale_r[pl.program_id(0), 0]
+        i = pl.program_id(0)
+        if na_mod is None:           # grid = (na,): 1D signal
+            scale = scale_r[i, 0]
+            xh_re, xh_im = xhre_r[:], xhim_r[:]
+        else:                        # grid = (B*na,): batched signal
+            scale = scale_r[jax.lax.rem(i, na_mod), 0]
+            xh_re, xh_im = xhre_r[0], xhim_r[0]
         xi = xi_r[:]                                   # (rows0, f2)
         # xh arrives pre-masked (pad zeros + Nyquist/2 folded in outside)
         psih = wavelet_fn(scale * xi, xp=jnp)
         if not l1_norm:
             psih = psih * jnp.sqrt(scale)
-        Pre = psih * xhre_r[:]
-        Pim = psih * xhim_r[:]
+        Pre = psih * xh_re
+        Pim = psih * xh_im
 
         w2re, w2im = w2re_r[:], w2im_r[:]              # (f2, k2span)
 
@@ -104,8 +110,6 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
     """True when the fused kernel handles this configuration."""
     from ..models.cwt import _is_analytic
     from .fft import _factorize
-    if is_2d:
-        return False
     if not _is_analytic(wavelet):
         return False
     factors = _factorize(n_up)
@@ -144,6 +148,8 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     k2span = k2hi - k2lo
 
     na = scales.shape[0]
+    batched = (xh_re.ndim == 2)
+    B = xh_re.shape[0] if batched else 1
     dt_s = str(dtype)
 
     # constants (trace-time numpy)
@@ -169,17 +175,24 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     # halving + pad mask folded in (psih*nyq*xh == psih*(nyq*xh))
     pad = rows0 * f2 - prefix
     nyq_j = jnp.asarray(nyq.reshape(-1), dt_s)
-    xr = (jnp.pad(xh_re, (0, pad)) * nyq_j).reshape(rows0, f2)
-    xi_ = (jnp.pad(xh_im, (0, pad)) * nyq_j).reshape(rows0, f2)
+    padw = [(0, 0)] * (xh_re.ndim - 1) + [(0, pad)]
+    bshape = (B, rows0, f2) if batched else (rows0, f2)
+    xr = (jnp.pad(xh_re, padw) * nyq_j).reshape(bshape)
+    xi_ = (jnp.pad(xh_im, padw) * nyq_j).reshape(bshape)
 
     out_w = k2span * f1
 
-    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    if batched:
+        xh_spec = pl.BlockSpec((1, rows0, f2), lambda i: (i // na, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        xh_spec = const((rows0, f2))
     in_specs = [
         pl.BlockSpec((na, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        const((rows0, f2)), const((rows0, f2)), const((rows0, f2)),
+        const((rows0, f2)), xh_spec, xh_spec,
         const((f1, rows0)), const((f1, rows0)),
         const((f1, f2)), const((f1, f2)),
         const((f2, k2span)), const((f2, k2span)),
@@ -189,7 +202,8 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                             memory_space=pltpu.VMEM)
 
     kernel = _make_kernel(wavelet.fn, rows0, f1, f2, k2span, deriv,
-                          l1_norm, jnp.dtype(dt_s))
+                          l1_norm, jnp.dtype(dt_s),
+                          na_mod=(na if batched else None))
     args = [scales.reshape(na, 1).astype(dt_s),
             jnp.asarray(inv_dt, dt_s).reshape(1, 1),
             jnp.asarray(xi_blk, dt_s), xr.astype(dt_s), xi_.astype(dt_s),
@@ -199,15 +213,19 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
 
     outs = pl.pallas_call(
         kernel,
-        grid=(na,),
+        grid=(B * na,),
         in_specs=in_specs,
         out_specs=(out_spec,) * n_out,
-        out_shape=(jax.ShapeDtypeStruct((na, k2span, f1), dt_s),) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((B * na, k2span, f1),
+                                        dt_s),) * n_out,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     off = n1 - k2lo * f1
+    if batched:
+        return tuple(o.reshape(B, na, out_w)[..., off:off + N]
+                     for o in outs)
     return tuple(o.reshape(na, out_w)[:, off:off + N] for o in outs)
 
 
