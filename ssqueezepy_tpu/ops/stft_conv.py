@@ -20,11 +20,13 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .complexlib import Complex
 from .fft import fft, ifft, _factorize
 
-__all__ = ['stft_conv_plan', 'stft_conv_applicable', 'stft_conv']
+__all__ = ['stft_conv_applicable', 'stft_conv']
 
 
 def _next_fft_len(n):
@@ -105,6 +107,150 @@ def _stft_conv_jit(shape, dtype, Np2, N_out, derivative, padtype,
     return jax.jit(run)
 
 
+# ---------------------------------------------------------------------------
+# Pallas table kernel: per STFT row, the spectral multiply + both matmul
+# IFFT stages stay VMEM-resident (same structure as ops/cwt_pallas.py,
+# with the filterbank READ from the precomputed table instead of
+# synthesized, since window spectra have no closed form).
+# ---------------------------------------------------------------------------
+def _sdot(a, b):
+    dn = (((1,), (0,)), ((), ()))
+    kw = dict(dimension_numbers=dn, precision=jax.lax.Precision.DEFAULT,
+              preferred_element_type=jnp.float32)
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jax.lax.dot_general(a_hi, b_hi, **kw) +
+            jax.lax.dot_general(a_hi, b_lo, **kw) +
+            jax.lax.dot_general(a_lo, b_hi, **kw))
+
+
+def _make_stft_kernel(rows0, f1, f2, k2span, deriv):
+    nh = 2 if f1 % 16 == 0 else 1
+    hk1 = f1 // nh
+
+    def kernel(fs_r, xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
+               wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs):
+        xre, xim = xhre_r[:], xhim_r[:]                # (rows0, f2)
+        w2re, w2im = w2re_r[:], w2im_r[:]
+
+        def pipeline(Pre, Pim, out_re_r, out_im_r, scale):
+            for h in range(nh):
+                sl = slice(h * hk1, (h + 1) * hk1)
+                wre, wim = wre_r[sl], wim_r[sl]
+                Are = _sdot(wre, Pre) - _sdot(wim, Pim)
+                Aim = _sdot(wre, Pim) + _sdot(wim, Pre)
+                tre, tim = tre_r[sl], tim_r[sl]
+                Atre = Are * tre - Aim * tim
+                Atim = Are * tim + Aim * tre
+                Ere = _sdot(Atre, w2re) - _sdot(Atim, w2im)
+                out_re_r[0, :, sl] = Ere.T * scale
+                Eim = _sdot(Atre, w2im) + _sdot(Atim, w2re)
+                out_im_r[0, :, sl] = Eim.T * scale
+
+        hre, him = hre_r[0], him_r[0]                  # (rows0, f2)
+        Pre = hre * xre - him * xim
+        Pim = hre * xim + him * xre
+        pipeline(Pre, Pim, outs[0], outs[1], 1.0)
+        if deriv:
+            hdre, hdim = hdre_r[0], hdim_r[0]
+            Pre = hdre * xre - hdim * xim
+            Pim = hdre * xim + hdim * xre
+            pipeline(Pre, Pim, outs[2], outs[3], fs_r[0, 0])
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=8)
+def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
+                     padlength, interpret=False):
+    """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx])."""
+    from .pad import padsignal
+    from .fft import _factorize, _dft_matrix_np, _twiddle_np
+    f1, f2 = _factorize(Np2)
+    rows0 = Np2 // f2
+    k2lo = 0
+    k2hi = -(-N_out // f1)
+    k2span = k2hi - k2lo
+    dt_s = str(dtype)
+
+    wre, wim = _dft_matrix_np(f1, +1, 'float64')
+    wre = (wre / Np2).astype(dt_s)
+    wim = (wim / Np2).astype(dt_s)
+    tre, tim = _twiddle_np(Np2, f1, f2, +1, 'float64')
+    tre, tim = tre.astype(dt_s), tim.astype(dt_s)
+    w2re, w2im = _dft_matrix_np(f2, +1, 'float64')
+    w2re = np.ascontiguousarray(w2re[k2lo:k2hi].T).astype(dt_s)
+    w2im = np.ascontiguousarray(w2im[k2lo:k2hi].T).astype(dt_s)
+    out_w = k2span * f1
+
+    def run(xj, fs, Hre, Him, Hdre, Hdim):
+        n_rows = Hre.shape[0]
+        xj = xj.astype(dt_s)
+        xp = padsignal(xj, padtype, padlength=padlength)
+        xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
+
+        const = lambda shape: pl.BlockSpec(
+            shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
+        row = pl.BlockSpec((1, rows0, f2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+        in_specs = [
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const((rows0, f2)), const((rows0, f2)),
+            row, row, row, row,
+            const((f1, rows0)), const((f1, rows0)),
+            const((f1, f2)), const((f1, f2)),
+            const((f2, k2span)), const((f2, k2span)),
+        ]
+        n_out = 4 if derivative else 2
+        out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative)
+        args = [fs.reshape(1, 1).astype(dt_s),
+                xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
+                Hre.reshape(n_rows, rows0, f2),
+                Him.reshape(n_rows, rows0, f2),
+                Hdre.reshape(n_rows, rows0, f2) if derivative else
+                Hre.reshape(n_rows, rows0, f2),
+                Hdim.reshape(n_rows, rows0, f2) if derivative else
+                Him.reshape(n_rows, rows0, f2),
+                jnp.asarray(wre), jnp.asarray(wim),
+                jnp.asarray(tre), jnp.asarray(tim),
+                jnp.asarray(w2re), jnp.asarray(w2im)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_rows,),
+            in_specs=in_specs,
+            out_specs=(out_spec,) * n_out,
+            out_shape=(jax.ShapeDtypeStruct((n_rows, k2span, f1),
+                                            dt_s),) * n_out,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args)
+        outs = tuple(o.reshape(n_rows, out_w)[:, :N_out] for o in outs)
+        Sx = Complex(outs[0], outs[1])
+        if derivative:
+            return Sx, Complex(outs[2], outs[3])
+        return Sx, None
+    return jax.jit(run)
+
+
+def _stft_pallas_applicable(Np2, shape):
+    from ..configs import backend, get_config
+    if len(shape) != 1:
+        return False
+    if not (backend() == 'tpu' and get_config().use_pallas):
+        return False
+    factors = _factorize(Np2)
+    if len(factors) != 2:
+        return False
+    f1, f2 = factors
+    return f1 % 8 == 0 and f2 % 64 == 0 and f1 <= 1024 and f2 <= 1024
+
+
 _FB_DEV_CACHE = {}
 
 
@@ -125,7 +271,7 @@ def _device_filterbank(win_key, n_fft, Np2, modulated, dtype):
 
 
 def stft_conv(xj, fs, n_fft, N_out, win_key, modulated, derivative,
-              padtype, padlength, dtype):
+              padtype, padlength, dtype, interpret=False):
     """Run the convolution-form STFT. `xj` raw (unpadded) device/np
     array; returns (Sx, dSx or None)."""
     Np = padlength
@@ -133,7 +279,12 @@ def stft_conv(xj, fs, n_fft, N_out, win_key, modulated, derivative,
     Hre, Him, Hdre, Hdim = _device_filterbank(win_key, int(n_fft),
                                               int(Np2), bool(modulated),
                                               str(dtype))
-    runner = _stft_conv_jit(tuple(xj.shape), str(dtype), int(Np2),
-                            int(N_out), bool(derivative), padtype,
-                            int(padlength))
+    if _stft_pallas_applicable(Np2, tuple(xj.shape)) or interpret:
+        runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
+                                  int(N_out), bool(derivative), padtype,
+                                  int(padlength), bool(interpret))
+    else:
+        runner = _stft_conv_jit(tuple(xj.shape), str(dtype), int(Np2),
+                                int(N_out), bool(derivative), padtype,
+                                int(padlength))
     return runner(xj, np.asarray(fs, str(dtype)), Hre, Him, Hdre, Hdim)

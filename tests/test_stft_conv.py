@@ -21,15 +21,17 @@ def test_stft_conv_matches_framed(N, n_fft, modulated, deriv):
     window, diff_window = get_window(None, n_fft, n_fft, derivative=True,
                                      dtype='float32')
     wk = _window_key(window, diff_window if deriv else None)
-    Sx_c, dSx_c = stft_conv(jnp.asarray(x), 1.0, n_fft, N, wk, modulated,
-                            deriv, 'reflect', N + n_fft - 1, 'float32')
-
-    m = float(jnp.abs(Sx_f.re).max())
-    assert float(jnp.abs(Sx_c.re - Sx_f.re).max()) / m < 5e-6
-    assert float(jnp.abs(Sx_c.im - Sx_f.im).max()) / m < 5e-6
-    if deriv:
-        md = float(jnp.abs(dSx_f.re).max())
-        assert float(jnp.abs(dSx_c.re - dSx_f.re).max()) / md < 5e-6
+    for interpret in (False, True):   # XLA path and Pallas table kernel
+        Sx_c, dSx_c = stft_conv(jnp.asarray(x), 1.0, n_fft, N, wk,
+                                modulated, deriv, 'reflect',
+                                N + n_fft - 1, 'float32',
+                                interpret=interpret)
+        m = float(jnp.abs(Sx_f.re).max())
+        assert float(jnp.abs(Sx_c.re - Sx_f.re).max()) / m < 2e-5
+        assert float(jnp.abs(Sx_c.im - Sx_f.im).max()) / m < 2e-5
+        if deriv:
+            md = float(jnp.abs(dSx_f.re).max())
+            assert float(jnp.abs(dSx_c.re - dSx_f.re).max()) / md < 2e-5
 
 
 def test_stft_conv_batched():
