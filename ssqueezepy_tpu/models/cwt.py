@@ -287,8 +287,8 @@ def icwt(Wx, wavelet='gmw', scales='log-piecewise', nv=None, one_int=True,
     recursive log-piecewise split (:422-429) and admissibility scaling
     (:441-450)."""
     Wx = as_complex(Wx) if not isinstance(Wx, np.ndarray) else Wx
-    if isinstance(Wx, Complex):
-        Wx = Wx.to_numpy()
+    # device `Complex` inputs stay on device through the one-integral
+    # reduction (only the (N,) result crosses the host boundary)
 
     *_, na, n = Wx.shape
     x_len = x_len or n
@@ -316,18 +316,19 @@ def icwt(Wx, wavelet='gmw', scales='log-piecewise', nv=None, one_int=True,
         if Wx.ndim == 3:
             raise NotImplementedError("batched `Wx` requires "
                                       "`one_int=True`.")
+        if isinstance(Wx, Complex):
+            Wx = Wx.to_numpy()
         x = _icwt_2int(Wx, scales, scaletype, l1_norm, wavelet, x_len,
                        padtype, rpadded)
 
     Cpsi = (adm_ssq(wavelet) if one_int else adm_cwt(wavelet))
     if scaletype == 'log':
         # ln(2**(1/nv)) == ln(2)/nv == diff(ln(scales))[0]
-        x *= (2 / Cpsi) * np.log(2 ** (1 / nv))
+        x = x * ((2 / Cpsi) * np.log(2 ** (1 / nv)))
     else:
-        x *= (2 / Cpsi) * np.pi / 4
+        x = x * ((2 / Cpsi) * np.pi / 4)
 
-    x += x_mean
-    return x
+    return x + x_mean
 
 
 def _icwt_norm(scaletype, l1_norm):
@@ -341,8 +342,14 @@ def _icwt_norm(scaletype, l1_norm):
 
 def _icwt_1int(Wx, scales, scaletype, l1_norm):
     """One-integral iCWT: sum of Re(Wx)/norm over scales
-    (reference _cwt.py:479-482)."""
+    (reference _cwt.py:479-482); device-side reduction for `Complex`."""
     norm = _icwt_norm(scaletype, l1_norm)
+    if isinstance(Wx, Complex):
+        nrm = np.asarray(norm(scales), dtype=str(Wx.dtype))
+        nrm = np.broadcast_to(nrm, (len(np.atleast_1d(scales)), 1))
+        out = jax.jit(lambda re, c: (re / c).sum(axis=-2))(
+            Wx.re, jnp.asarray(nrm))
+        return np.asarray(out)
     return (Wx.real / norm(scales)).sum(axis=-2)
 
 

@@ -322,20 +322,24 @@ def issq_cwt(Tx, wavelet='gmw', cc=None, cw=None):
     """Inverse synchrosqueezed CWT: full inversion
     ``x = Re(sum(Tx, axis=0)) * 2/Css`` or masked per-component inversion.
     Reference _ssq_cwt.py:313-417."""
-    if isinstance(Tx, Complex):
-        Tx = Tx.to_numpy()
-    Tx = np.asarray(Tx)
-
     cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
-    if full_inverse:
-        x = Tx.real.sum(axis=-2)
+
+    if isinstance(Tx, Complex) and full_inverse:
+        # device-side reduction: fetch only the (N,) result, not the full
+        # (na, N) transform (host transfers dominate otherwise)
+        x = np.asarray(jax.jit(lambda t: t.sum(axis=-2))(Tx.re))
     else:
-        x = _invert_components(Tx, cc, cw)
+        if isinstance(Tx, Complex):
+            Tx = Tx.to_numpy()
+        Tx = np.asarray(Tx)
+        if full_inverse:
+            x = Tx.real.sum(axis=-2)
+        else:
+            x = _invert_components(Tx, cc, cw)
 
     wavelet = Wavelet._init_if_not_isinstance(wavelet)
     Css = adm_ssq(wavelet)
-    x *= (2 / Css)
-    return x
+    return x * (2 / Css)
 
 
 def _invert_components(Tx, cc, cw):

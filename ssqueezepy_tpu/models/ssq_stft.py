@@ -109,11 +109,23 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
     if hop_len != 1:
         raise ValueError("inversion with `hop_len != 1` is unsupported.")
 
+    cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
+    if isinstance(Tx, Complex) and full_inverse:
+        import jax
+        # device-side reduction; only the (N,) result crosses to host
+        x_dev = np.asarray(jax.jit(lambda t: t.sum(axis=0))(Tx.re))
+        n_fft = int(n_fft or (Tx.shape[0] - 1) * 2)
+        win_len = win_len or n_fft
+        window = get_window(window, win_len, n_fft=n_fft)
+        _check_NOLA(window, hop_len)
+        if abs(np.argmax(window) - len(window) // 2) > 1:
+            WARN("`window` maximum not centered; results may be "
+                 "inaccurate.")
+        return x_dev * (2 / window[len(window) // 2])
+
     if isinstance(Tx, Complex):
         Tx = Tx.to_numpy()
     Tx = np.asarray(Tx)
-
-    cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
     n_fft = int(n_fft or (Tx.shape[0] - 1) * 2)
     win_len = win_len or n_fft
 
