@@ -170,3 +170,28 @@ def test_component_inversion():
 
     assert mad_rms(xo, xrec) <= .40
     assert mad_rms(axof, axrecf) <= .10
+
+
+def test_inverse_device_vs_numpy_inputs():
+    """Device `Complex` inputs to the inverses must give identical results
+    to numpy complex inputs (the device path reduces on-device)."""
+    import ssqueezepy_tpu as stq
+
+    N = 2048
+    x = np.cos(2 * np.pi * 5 * np.linspace(0, 1, N)).astype(np.float32)
+    Tx_d, Wx_d, fr, sc = stq.ssq_cwt(x, scales='log', nv=8, astensor=True)
+    Tx_n = Tx_d.to_numpy()
+    Wx_n = Wx_d.to_numpy()
+
+    x1 = stq.issq_cwt(Tx_d)
+    x2 = stq.issq_cwt(Tx_n)
+    assert np.allclose(x1, x2, atol=1e-6)
+
+    y1 = stq.icwt(Wx_d, scales='log', nv=8, x_len=N)
+    y2 = stq.icwt(Wx_n, scales='log', nv=8, x_len=N)
+    assert np.allclose(y1, y2, atol=1e-5)
+
+    Ts, Sx, fr2, Sfs = stq.ssq_stft(x, n_fft=128, astensor=True)
+    z1 = stq.issq_stft(Ts, n_fft=128)
+    z2 = stq.issq_stft(Ts.to_numpy(), n_fft=128)
+    assert np.allclose(z1, z2, atol=1e-6)
