@@ -77,7 +77,7 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
     G = _GROUP
     ngroups = na_pad // G
     acc[:] = jnp.zeros(acc.shape, dt)
-    base_off = na_pad + 16
+    base_off = G + 16
 
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
@@ -112,9 +112,11 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
 
 
 def _acc_shape(na_pad, T):
-    # rows [base_off - na_pad - 16, base_off + 2*na_pad + 16) with
-    # base_off = na_pad + 16 — the provable target range of the q-loop
-    return (3 * na_pad + 32, 2 * T)
+    # Valid (non-edge) targets satisfy k = i + d in [0, na_pad), so a
+    # group's q-loop slices stay within [base_off - G - 14,
+    # base_off + na_pad + G + 15) with base_off = G + 16; the tight
+    # accumulator keeps the per-tile zeroing cost down.
+    return (na_pad + 2 * _GROUP + 32, 2 * T)
 
 
 def _check_natural(natural_bins, na):
@@ -218,7 +220,7 @@ def _make_fused_kernel(na_pad, T, params, gamma, flipud, mode, has_sfs):
     'param_items', 'gamma', 'flipud', 'flip_base', 'has_sfs', 'interpret',
     'T'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
-                    gamma, flipud, flip_base, has_sfs, interpret, T=512):
+                    gamma, flipud, flip_base, has_sfs, interpret, T=1024):
     params = dict(param_items)
     na, N = Wxr.shape
     na_pad = _round_up(max(na, _GROUP), _GROUP)
@@ -262,6 +264,8 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
         out_shape=(jax.ShapeDtypeStruct((na_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((na_pad, N_pad), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, T), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
     return out_re[:na, :N], out_im[:na, :N]
@@ -350,6 +354,8 @@ def _scatter_call(vre, vim, k, valid, nbins, flip_base, interpret, T=512):
         out_shape=(jax.ShapeDtypeStruct((na_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((na_pad, N_pad), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, T), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(vre_, vim_, k_, valid_)
     return out_re[:nbins, :N], out_im[:nbins, :N]
