@@ -77,7 +77,7 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
     G = _GROUP
     ngroups = na_pad // G
     acc[:] = jnp.zeros(acc.shape, dt)
-    base_off = G + 16
+    base_off = G + 24
 
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
@@ -89,23 +89,26 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
         dmin = jnp.min(dmg)
         dmax = jnp.max(neg)
 
-        for r in range(8):
-            if r == 0:
-                vr, dmr = vg, dmg
-            else:
-                vr = pltpu.roll(vg, r, 0)
-                dmr = pltpu.roll(dmg, r, 0)
-            qlo = jnp.floor_divide(dmin - r, 8)
-            qhi = jnp.floor_divide(dmax - r, 8)
+        # all 8 residue rolls up front; ONE dynamic fori per group with
+        # the residues statically unrolled inside — fori_loop LAUNCHES
+        # dominate the kernel otherwise (~80 scalar-loop setups per grid
+        # step measured slower than all the vector work combined)
+        vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
+        dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
+        qlo = jnp.floor_divide(dmin, 8) - 1
+        qhi = jnp.floor_divide(dmax, 8)
 
-            def qbody(q, _, vr=vr, dmr=dmr, r=r, g=g):
+        def qbody(q, _, g=g):
+            off = pl.multiple_of(base_off + g * G + 8 * q, 8)
+            upd = acc[pl.ds(off, G + 8)]
+            for r in range(8):
                 dd = 8 * q + r
-                m = (dmr == dd).astype(dt)
-                off = pl.multiple_of(base_off + g * G + 8 * q, 8)
-                acc[pl.ds(off, G + 8)] = acc[pl.ds(off, G + 8)] + vr * m
-                return 0
+                m = (dmrs[r] == dd).astype(dt)
+                upd = upd + vrs[r] * m
+            acc[pl.ds(off, G + 8)] = upd
+            return 0
 
-            jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
+        jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
 
     outr[:] = acc[pl.ds(base_off, na_pad), :T]
     outi[:] = acc[pl.ds(base_off, na_pad), T:]
@@ -113,10 +116,10 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
 
 def _acc_shape(na_pad, T):
     # Valid (non-edge) targets satisfy k = i + d in [0, na_pad), so a
-    # group's q-loop slices stay within [base_off - G - 14,
-    # base_off + na_pad + G + 15) with base_off = G + 16; the tight
+    # group's q-loop slices stay within [base_off - G - 22,
+    # base_off + na_pad + G + 15) with base_off = G + 24; the tight
     # accumulator keeps the per-tile zeroing cost down.
-    return (na_pad + 2 * _GROUP + 32, 2 * T)
+    return (na_pad + 2 * _GROUP + 48, 2 * T)
 
 
 def _check_natural(natural_bins, na):
