@@ -44,6 +44,9 @@ class Config:
     backend: str = 'auto'
     # use Pallas kernels on TPU when available (vs pure-XLA fallbacks)
     use_pallas: bool = True
+    # run Pallas kernels in interpreter mode (CI: exercises the exact TPU
+    # dispatch wiring on CPU; see tests/test_ssq_pallas.py)
+    pallas_interpret: bool = False
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 

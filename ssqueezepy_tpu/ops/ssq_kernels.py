@@ -132,15 +132,43 @@ def _scatter_xla(vre, vim, k, valid, nbins):
     return Complex(out_re, out_im)
 
 
-def _dispatch_scatter(vre, vim, k, valid, nbins, natural_bins=None):
+_PALLAS_FALLBACK_NOTED = set()
+
+
+def _note_pallas_fallback(reason):
+    """One NOTE per distinct reason per session when the TPU path degrades
+    to the serialized XLA scatter (~30x slower at benchmark shapes)."""
+    if reason not in _PALLAS_FALLBACK_NOTED:
+        _PALLAS_FALLBACK_NOTED.add(reason)
+        from ..utils.common import NOTE
+        NOTE("TPU Pallas scatter unavailable (%s); falling back to the "
+             "serialized XLA scatter — expect a large slowdown." % reason)
+
+
+def _pallas_enabled(platform=None):
+    """(use_pallas, interpret) for the target `platform` — pass the mesh's
+    device platform for sharded paths (the global default backend may be a
+    TPU tunnel while the mesh is virtual-CPU, and vice versa)."""
     from ..configs import backend, get_config
-    if backend() == 'tpu' and get_config().use_pallas:
+    cfg = get_config()
+    if platform is None:
+        on_tpu = backend() == 'tpu'
+    else:
+        on_tpu = platform not in ('cpu', 'gpu', 'cuda', 'rocm')
+    use = cfg.use_pallas and (on_tpu or cfg.pallas_interpret)
+    return use, cfg.pallas_interpret
+
+
+def _dispatch_scatter(vre, vim, k, valid, nbins, natural_bins=None,
+                      platform=None):
+    use, interp = _pallas_enabled(platform)
+    if use:
         try:
             from .ssq_pallas import shift_scatter_pallas
             return shift_scatter_pallas(vre, vim, k, valid, nbins,
-                                        natural_bins)
-        except NotImplementedError:
-            pass  # unsupported geometry -> XLA fallback
+                                        natural_bins, interpret=interp)
+        except NotImplementedError as e:  # pragma: no cover - safety net
+            _note_pallas_fallback(str(e))
     return _scatter_xla(vre, vim, k, valid, nbins)
 
 
@@ -160,14 +188,15 @@ def ssqueeze_fast(Wx, dWx, ssq_freqs, const, logscale=False, flipud=False,
     nbins = params['omax'] + 1
     dtype = str(Wx.dtype)
 
-    from ..configs import backend, get_config
-    if backend() == 'tpu' and get_config().use_pallas and gamma is not None:
+    use, interp = _pallas_enabled()
+    if use and gamma is not None:
         try:
             from .ssq_pallas import ssq_fused_pallas
-            return ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud,
-                                    natural_bins, Sfs=Sfs)
-        except NotImplementedError:
-            pass  # unsupported geometry -> XLA path below
+            return ssq_fused_pallas(Wx, dWx, const, params, gamma,
+                                    flipud, natural_bins, Sfs=Sfs,
+                                    interpret=interp)
+        except NotImplementedError as e:  # pragma: no cover - safety net
+            _note_pallas_fallback(str(e))
 
     w = _imag_ratio_over_2pi(Wx, dWx)
     if Sfs is None:

@@ -6,27 +6,29 @@ written directly (XLA's scatter lowering serializes — measured ~500ms for
 the benchmark shape on this device). This kernel reformulates the
 reassignment as *uniform sublane shifts*:
 
-  Each scale row `i` has a static "natural" output bin `base[i]` (its
-  associated ssq frequency's bin — an exact row flip for CWT, identity
-  for STFT). Rows are pre-permuted so that row r is the one whose natural
-  bin is r (a free XLA transpose fused into padding); the scatter then
-  becomes
+  For each displacement `d = k[i,j] - i`, the scatter becomes
 
-      out[r + d, j] += V'[r, j] * [K'[r, j] - r == d]
+      out[i + d, j] += V[i, j] * [K[i, j] - i == d]
 
-  i.e. for each displacement `d`, one mask + one contiguous-rows
-  read-modify-write at dynamic row offset `d` (static size — TPU
-  dynamic-slice friendly). The displacement range [dmin, dmax] is
-  computed per time tile at runtime and looped with dynamic
-  `fori_loop` bounds, so well-localized signals (the common case) cost a
-  handful of shift passes while arbitrary inputs remain exactly correct.
+  i.e. one mask + one contiguous-rows read-modify-write at dynamic row
+  offset `d` (static size — TPU dynamic-slice friendly). The displacement
+  range [dmin, dmax] is computed per 32-row group per time tile at
+  runtime and looped with dynamic `fori_loop` bounds, so well-localized
+  signals (the common case) cost a handful of shift passes while
+  arbitrary inputs remain exactly correct.
+
+  Rows are pre-permuted (a free XLA gather fused into padding) so that
+  each row sits as close as possible to its *natural* output bin — the
+  bin its associated ssq frequency falls in (an exact row flip for CWT,
+  identity for STFT, a static sort for arbitrary user grids). The
+  permutation only tightens the displacement spans; correctness never
+  depends on it, so ANY (na, nbins) geometry is supported — including
+  per-shard blocks whose rows scatter into the full bin space with a
+  large uniform offset (the offset lands in the data-adaptive d-range).
 
 The phase transform, gamma gate, and bin map are fused into the same
 kernel (reads Wx/dWx once from HBM; fused semantics mirror the reference
 CUDA kernels `ssq_cwt_*`, algos.py:1007-1294).
-
-Requires nbins == na (the default for all ssq paths); other geometries
-fall back to the XLA path.
 """
 import functools
 
@@ -53,8 +55,10 @@ _BIG = 2 ** 20
 _GROUP = 32  # scatter row-group size (multiple of 8)
 
 
-def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
-    """Shared scatter core: acc[row + d] += v.
+def _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi):
+    """Shared scatter core: acc[row + d] += v, out = acc window of
+    `nbins_pad` rows. Valid displacements must satisfy
+    row + d in [0, nbins) — the caller masks everything else to _BIG.
 
     TPU vector loads/stores need sublane offsets provably divisible by 8,
     so the displacement is decomposed d = 8q + r: the 8 residues r are
@@ -110,37 +114,51 @@ def _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi):
 
         jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
 
-    outr[:] = acc[pl.ds(base_off, na_pad), :T]
-    outi[:] = acc[pl.ds(base_off, na_pad), T:]
+    outr[:] = acc[pl.ds(base_off, nbins_pad), :T]
+    outi[:] = acc[pl.ds(base_off, nbins_pad), T:]
 
 
-def _acc_shape(na_pad, T):
-    # Valid (non-edge) targets satisfy k = i + d in [0, na_pad), so a
-    # group's q-loop slices stay within [base_off - G - 22,
-    # base_off + na_pad + G + 15) with base_off = G + 24; the tight
-    # accumulator keeps the per-tile zeroing cost down.
-    return (na_pad + 2 * _GROUP + 48, 2 * T)
+def _acc_shape(na_pad, nbins_pad, T):
+    # Valid targets satisfy k = row + d in [0, nbins), so a group's
+    # q-loop slices stay within [base_off - G - 23,
+    # base_off + nbins_pad + G + 16) with base_off = G + 24; the tight
+    # accumulator keeps the per-tile zeroing cost down. (na_pad only
+    # bounds which groups exist, not the slice range.)
+    return (nbins_pad + 2 * _GROUP + 48, 2 * T)
 
 
-def _check_natural(natural_bins, na):
-    """True if base == flip, False if identity, None otherwise."""
+def _plan_perm(natural_bins, na):
+    """Static row pre-permutation minimizing displacement spread.
+
+    Returns None (identity), 'flip' (row reversal — free relayout), or a
+    tuple permutation (argsort of the natural bins). Any value is correct;
+    this only tightens the per-group displacement ranges.
+    """
     if natural_bins is None:
         return None
     nb = np.asarray(natural_bins)
     if len(nb) != na:
         return None
-    if (nb == np.arange(na - 1, -1, -1)).all():
-        return True
-    if (nb == np.arange(na)).all():
-        return False
-    return None
+    if (nb[:-1] >= nb[1:]).all():       # descending -> reversal sorts it
+        return 'flip'
+    if (nb[:-1] <= nb[1:]).all():       # already ascending
+        return None
+    return tuple(np.argsort(nb, kind='stable').tolist())
+
+
+def _apply_perm(x, perm):
+    if perm is None:
+        return x
+    if perm == 'flip':
+        return x[::-1]
+    return x[np.asarray(perm, np.int32)]
 
 
 # --------------------------------------------------------------------------
-# fused phase + bin + shift-scatter kernel (identity base; inputs
-# pre-permuted so row r's natural bin is r)
+# fused phase + bin + shift-scatter kernel
 # --------------------------------------------------------------------------
-def _make_fused_kernel(na_pad, T, params, gamma, flipud, mode, has_sfs):
+def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
+                       has_sfs):
     omax = params['omax']
 
     def kernel(*refs):
@@ -210,7 +228,7 @@ def _make_fused_kernel(na_pad, T, params, gamma, flipud, mode, has_sfs):
 
         v2 = jnp.concatenate([vre, vim], axis=1)        # (na_pad, 2T)
         dm2 = jnp.concatenate([dm, dm], axis=1)
-        _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi)
+        _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -220,26 +238,24 @@ def _make_fused_kernel(na_pad, T, params, gamma, flipud, mode, has_sfs):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'param_items', 'gamma', 'flipud', 'flip_base', 'has_sfs', 'interpret',
-    'T'))
+    'param_items', 'gamma', 'flipud', 'perm', 'has_sfs', 'interpret', 'T'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
-                    gamma, flipud, flip_base, has_sfs, interpret, T=1024):
+                    gamma, flipud, perm, has_sfs, interpret, T=1024):
     params = dict(param_items)
     na, N = Wxr.shape
+    nbins = params['omax'] + 1
     na_pad = _round_up(max(na, _GROUP), _GROUP)
+    nbins_pad = _round_up(max(nbins, 8), 8)
     N_pad = _round_up(N, T)
     dt = Wxr.dtype
     rp, cp = na_pad - na, N_pad - N
 
     def prep(x):
-        if flip_base:
-            x = x[::-1]
-        return jnp.pad(x, ((0, rp), (0, cp)))
+        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
 
     def prep_col(x):
-        if flip_base:
-            x = x[::-1]
-        return jnp.pad(x.reshape(-1, 1), ((0, rp), (0, 0)))
+        return jnp.pad(_apply_perm(x, perm).reshape(-1, 1), ((0, rp),
+                                                             (0, 0)))
 
     # zero-padding makes |Wx|=0 <= gamma -> padded entries invalid
     args = [prep(Wxr), prep(Wxi), prep(dWxr), prep(dWxi),
@@ -254,38 +270,34 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
         in_specs.append(pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
 
-    kernel = _make_fused_kernel(na_pad, T, params, gamma, flipud,
-                                params['mode'], has_sfs)
+    kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
+                                flipud, params['mode'], has_sfs)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((na_pad, T), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((na_pad, T), lambda i: (0, i),
+                   pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((na_pad, N_pad), dt),
-                   jax.ShapeDtypeStruct((na_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, T), dt)],
+        out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
+                   jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return out_re[:na, :N], out_im[:na, :N]
+    return out_re[:nbins, :N], out_im[:nbins, :N]
 
 
 def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
-                     Sfs=None, interpret=False):
+                     Sfs=None, interpret=False, T=1024):
     """Fused phase+bin+scatter on TPU. `Wx`, `dWx` split-complex (na, n)
-    or (b, na, n); returns Tx `Complex` (nbins == na rows)."""
+    or (b, na, n); returns Tx `Complex` with ``params['omax'] + 1`` rows.
+    Any (na, nbins) geometry; `natural_bins` only tunes the row
+    pre-permutation (displacement locality)."""
     na = Wx.shape[-2]
-    nbins = params['omax'] + 1
-    if nbins != na:
-        raise NotImplementedError("pallas ssq kernel requires nbins == na")
-    flip_base = _check_natural(natural_bins, na)
-    if flip_base is None:
-        raise NotImplementedError("pallas ssq kernel requires "
-                                  "flip/identity natural bins")
+    perm = _plan_perm(natural_bins, na)
 
     dt = Wx.dtype
     c = jnp.asarray(const, dt).reshape(-1)
@@ -297,7 +309,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
         return _ssq_fused_call(
             wr, wi, dr, di, const_col, Sfs_col,
             tuple(sorted(params.items())), float(gamma), bool(flipud),
-            bool(flip_base), Sfs is not None, bool(interpret))
+            perm, Sfs is not None, bool(interpret), T=int(T))
 
     if Wx.re.ndim == 3:
         outr, outi = jax.vmap(call2d)(Wx.re, Wx.im, dWx.re, dWx.im)
@@ -307,9 +319,10 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 
 
 # --------------------------------------------------------------------------
-# standalone shift-scatter (k precomputed) — used by indexed_sum paths
+# standalone shift-scatter (k precomputed) — used by indexed_sum paths and
+# the sharded (per-shard rows -> full bin space) reassignment
 # --------------------------------------------------------------------------
-def _make_scatter_kernel(na_pad, T):
+def _make_scatter_kernel(na_pad, nbins_pad, T):
     def kernel(vre_r, vim_r, k_r, valid_r, outr, outi, acc):
         dt = vre_r.dtype
         k = k_r[:]
@@ -323,40 +336,44 @@ def _make_scatter_kernel(na_pad, T):
         vim = vim_r[:] * validf
         v2 = jnp.concatenate([vre, vim], axis=1)
         dm2 = jnp.concatenate([dm, dm], axis=1)
-        _shift_scatter_core(v2, dm2, na_pad, T, acc, outr, outi)
+        _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('nbins', 'flip_base',
-                                             'interpret', 'T'))
-def _scatter_call(vre, vim, k, valid, nbins, flip_base, interpret, T=512):
+@functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'interpret',
+                                             'T'))
+def _scatter_call(vre, vim, k, valid, nbins, perm, interpret, T=512):
     na, N = vre.shape
     na_pad = _round_up(max(na, _GROUP), _GROUP)
+    nbins_pad = _round_up(max(nbins, 8), 8)
     N_pad = _round_up(N, T)
     dt = vre.dtype
     rp, cp = na_pad - na, N_pad - N
 
-    def prep(x, fill=0):
-        if flip_base:
-            x = x[::-1]
-        return jnp.pad(x, ((0, rp), (0, cp)), constant_values=fill)
+    def prep(x):
+        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
 
     vre_ = prep(vre)
     vim_ = prep(vim)
+    # XLA-scatter index semantics: negative k wraps (numpy indexing),
+    # k >= nbins is dropped; padded rows are invalid
+    k = jnp.where(k < 0, k + nbins, k)
     k_ = prep(k)
-    valid_ = prep(valid.astype(jnp.int32))
+    valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
 
-    kernel = _make_scatter_kernel(na_pad, T)
+    kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
         in_specs=[bs, bs, bs, bs],
-        out_specs=(bs, bs),
-        out_shape=(jax.ShapeDtypeStruct((na_pad, N_pad), dt),
-                   jax.ShapeDtypeStruct((na_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, T), dt)],
+        out_specs=(os, os),
+        out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
+                   jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -365,16 +382,12 @@ def _scatter_call(vre, vim, k, valid, nbins, flip_base, interpret, T=512):
 
 
 def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
-                         interpret=False):
+                         interpret=False, T=512):
     """`out[k[i,j], j] += v[i,j]` via displacement shift passes.
-    Requires nbins == na and flip/identity natural bins."""
+    Any (na, nbins) geometry; out-of-range `k` dropped (XLA-scatter
+    parity). `natural_bins` (static, len na) only tunes locality."""
     na = vre.shape[-2]
-    if nbins != na:
-        raise NotImplementedError("pallas scatter requires nbins == na")
-    flip_base = _check_natural(natural_bins, na)
-    if flip_base is None:
-        raise NotImplementedError("pallas scatter requires flip/identity "
-                                  "natural bins")
-    outr, outi = _scatter_call(vre, vim, k, valid, nbins, bool(flip_base),
-                               bool(interpret))
+    perm = _plan_perm(natural_bins, na)
+    outr, outi = _scatter_call(vre, vim, k, valid, nbins, perm,
+                               bool(interpret), T=int(T))
     return Complex(outr, outi)

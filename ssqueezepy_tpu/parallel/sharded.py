@@ -27,7 +27,8 @@ from jax.experimental.shard_map import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.pad import padsignal, pad_params
-from ..ops.ssq_kernels import ssq_bin_params, compute_bins, _scatter_xla
+from ..ops.ssq_kernels import (ssq_bin_params, compute_bins, _scatter_xla,
+                               _dispatch_scatter)
 from ..ops.phase import _imag_ratio_over_2pi
 from ..utils.common import EPS32, EPS64
 from ..utils.cwt_utils import process_scales
@@ -115,6 +116,20 @@ class ShardedSSQCWT:
         params, gamma, flipud = self.params, self.gamma, self.flipud
         nbins, dt = self.nbins, self.dt
 
+        na_local = self.na_pad // self.mesh.devices.shape[1]
+        # Per-shard natural-bin ORDERING hint for the Pallas shift-scatter
+        # (VERDICT r1 #2): with the generalized kernel the absolute offset
+        # of a shard's natural-bin block lands in the data-adaptive
+        # displacement range, so only the within-block direction matters —
+        # identical across shards, hence expressible in one shard_map
+        # trace. flipud=True: global bins ascend with row -> identity;
+        # flipud=False: descend -> row flip.
+        nb_local = (np.arange(na_local) if flipud
+                    else np.arange(na_local - 1, -1, -1)).astype(np.int32)
+        # dispatch on the MESH devices' platform (the global default
+        # backend may be a TPU tunnel while this mesh is virtual-CPU)
+        mesh_platform = self.mesh.devices.flat[0].platform
+
         def per_shard(xp_pad, scales_blk, const_blk):
             # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
             Wx, dWx = cwt_core(xp_pad, wavelet, scales_blk, dt,
@@ -129,7 +144,8 @@ class ShardedSSQCWT:
             c = const_blk.reshape(1, -1, 1)
             vre, vim = Wx.re * c, Wx.im * c
             Tx_part = jax.vmap(
-                lambda a, b, kk, vv: _scatter_xla(a, b, kk, vv, nbins)
+                lambda a, b, kk, vv: _dispatch_scatter(
+                    a, b, kk, vv, nbins, nb_local, platform=mesh_platform)
             )(vre, vim, k, valid)
             # the one cross-chip reduction: bin accumulation over scales
             Tx_re = jax.lax.psum(Tx_part.re, 'scale')

@@ -28,7 +28,8 @@ from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops.complexlib import Complex
-from ..ops.ssq_kernels import ssq_bin_params, compute_bins, _scatter_xla
+from ..ops.ssq_kernels import (ssq_bin_params, compute_bins, _scatter_xla,
+                               _dispatch_scatter)
 from ..ops.phase import _imag_ratio_over_2pi
 from ..utils.common import EPS32, EPS64
 from ..utils.cwt_utils import process_scales
@@ -165,6 +166,14 @@ class TimeShardedSSQCWT:
 
         n_local = self.n_local
         g_nup, g_n1 = self.g_nup, self.g_n1
+        # time shards hold ALL scale rows, so the global natural-bin hint
+        # applies unchanged (identical for every shard -> one trace)
+        na_rows = len(self.scales_np)
+        nb_hint = np.clip(np.arange(na_rows) if flipud
+                          else np.arange(na_rows - 1, -1, -1),
+                          0, nbins - 1).astype(np.int32)
+        # dispatch on the MESH devices' platform (see parallel/sharded.py)
+        mesh_platform = mesh.devices.flat[0].platform
 
         def per_shard(xc, scales_blk, const_blk):
             # xc: (B_local, C) — this chip's chunk
@@ -217,7 +226,8 @@ class TimeShardedSSQCWT:
             cst = const_blk.reshape(1, -1, 1)
             vre, vim = Wx.re * cst, Wx.im * cst
             Tx = jax.vmap(
-                lambda a, b, kk, vv: _scatter_xla(a, b, kk, vv, nbins)
+                lambda a, b, kk, vv: _dispatch_scatter(
+                    a, b, kk, vv, nbins, nb_hint, platform=mesh_platform)
             )(vre, vim, k, valid)
             outs = (Tx.re, Tx.im, Wx.re, Wx.im)
             if derivative:

