@@ -119,15 +119,17 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
     # stay VMEM-resident per scale row (ops/cwt_pallas.py); batched
     # inputs run with grid = (B*na,)
     if out_range is not None and analytic:
-        from ..configs import backend, get_config
-        if backend() == 'tpu' and get_config().use_pallas:
+        from ..ops.ssq_kernels import _pallas_enabled
+        use_pallas, interp = _pallas_enabled()
+        if use_pallas:
             from ..ops.cwt_pallas import (cwt_fused_pallas,
                                           cwt_pallas_applicable)
             if cwt_pallas_applicable(wavelet, n_up, is_2d):
                 psih_probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
                 if not isinstance(psih_probe, tuple):  # real-valued psih
                     return cwt_fused_pallas(xh, scales_j, wavelet, n_up,
-                                            n1, N, dt, derivative, l1_norm)
+                                            n1, N, dt, derivative, l1_norm,
+                                            interpret=interp)
     if is_2d:
         xh = Complex(xh.re[:, None], xh.im[:, None])
 

@@ -229,19 +229,83 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     return tuple(o.reshape(na, out_w)[:, off:off + N] for o in outs)
 
 
+def _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up, n1, N,
+                  deriv, l1_norm, dtype):
+    """XLA formulation of the fused kernel's math (analytic wavelet,
+    half-spectrum in, unpadded rows out) — the kernel's correctness
+    reference and, via jax.vjp, its backward pass."""
+    from .fft import ifft
+    from ..models.wavelets import _xifn
+    half = n_up // 2 + 1
+    xi = jnp.asarray(_xifn(1., n_up, np.float64)[:half].astype(dtype))
+    scales_col = scales.reshape(-1, 1).astype(dtype)
+    batched = (xh_re.ndim == 2)
+    xh = (Complex(xh_re[:, None], xh_im[:, None]) if batched
+          else Complex(xh_re, xh_im))
+
+    psih = wavelet.fn(scales_col * xi, xp=jnp)
+    if not l1_norm:
+        psih = psih * jnp.sqrt(scales_col).astype(dtype)
+    if n_up % 2 == 0:
+        psih = psih.at[..., half - 1].divide(2)       # Nyquist halving
+
+    def pipe(spec):
+        return ifft(spec, axis=-1, n=n_up, out_range=(n1, n1 + N),
+                    nonzero_prefix=half)
+
+    Pxh = Complex(psih * xh.re, psih * xh.im)
+    Wx = pipe(Pxh)
+    outs = (Wx.re, Wx.im)
+    if deriv:
+        xid = (xi * inv_dt).astype(dtype)
+        dWx = pipe(Complex(-Pxh.im * xid, Pxh.re * xid))
+        outs = outs + (dWx.re, dWx.im)
+    return outs
+
+
+@functools.lru_cache(maxsize=32)
+def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
+                      interpret):
+    """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
+    half-spectrum formulation (exact adjoint of the linear transform,
+    incl. gradients w.r.t. `scales` through the wavelet synthesis)."""
+    wavelet = wavelet_ref[0]
+
+    def xla_ref(xh_re, xh_im, scales, inv_dt):
+        return _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up,
+                             n1, N, deriv, l1_norm, dtype)
+
+    @jax.custom_vjp
+    def f(xh_re, xh_im, scales, inv_dt):
+        return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
+                               n_up, n1, N, deriv, l1_norm, dtype,
+                               interpret)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
                      l1_norm, interpret=False):
     """Fused CWT rows from the HALF spectrum `xh` (Complex, length
     n_up//2+1). Returns (Wx, dWx or None), unpadded natural order.
     Both pipelines (Wx and its spectral derivative) run in ONE kernel,
-    sharing the synthesized filterbank row and resident constants."""
-    wavelet_ref = (wavelet,)
+    sharing the synthesized filterbank row and resident constants.
+    Differentiable (custom VJP via the XLA half-spectrum adjoint)."""
     dtype = str(xh.re.dtype)
     scales = scales_j.reshape(-1)
     inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
-    outs = _cwt_fused_call(xh.re, xh.im, scales, inv_dt, wavelet_ref,
-                           int(n_up), int(n1), int(N), bool(derivative),
-                           bool(l1_norm), dtype, interpret)
+    f = _cwt_fused_vjp_fn((wavelet,), int(n_up), int(n1), int(N),
+                          bool(derivative), bool(l1_norm), dtype,
+                          bool(interpret))
+    outs = f(xh.re, xh.im, scales, inv_dt)
     Wx = Complex(outs[0], outs[1])
     dWx = Complex(outs[2], outs[3]) if derivative else None
     return Wx, dWx

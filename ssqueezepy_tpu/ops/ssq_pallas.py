@@ -290,12 +290,50 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
     return out_re[:nbins, :N], out_im[:nbins, :N]
 
 
+@functools.lru_cache(maxsize=64)
+def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, has_sfs, interpret,
+                      T):
+    """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
+    formulation of the identical math (the gradient of the reassignment
+    w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
+    `round` and carry zero tangent, matching XLA autodiff exactly)."""
+    params = dict(param_items)
+
+    def xla_ref(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
+        from .ssq_kernels import compute_bins, _scatter_xla
+        from .phase import phase_transform_w
+        Wx, dWx = Complex(Wxr, Wxi), Complex(dWxr, dWxi)
+        w = phase_transform_w(Wx, dWx, gamma,
+                              Sfs=Sfs_col if has_sfs else None)
+        k, valid = compute_bins(w, params, flipud)
+        c = const_col.reshape(-1, 1)
+        out = _scatter_xla(Wxr * c, Wxi * c, k, valid, params['omax'] + 1)
+        return out.re, out.im
+
+    @jax.custom_vjp
+    def f(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
+        return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
+                               param_items, gamma, flipud, perm, has_sfs,
+                               interpret, T=T)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
                      Sfs=None, interpret=False, T=1024):
     """Fused phase+bin+scatter on TPU. `Wx`, `dWx` split-complex (na, n)
     or (b, na, n); returns Tx `Complex` with ``params['omax'] + 1`` rows.
     Any (na, nbins) geometry; `natural_bins` only tunes the row
-    pre-permutation (displacement locality)."""
+    pre-permutation (displacement locality). Differentiable (custom VJP;
+    see `_ssq_fused_vjp_fn`)."""
     na = Wx.shape[-2]
     perm = _plan_perm(natural_bins, na)
 
@@ -305,16 +343,17 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
     Sfs_col = (jnp.asarray(Sfs, dt) if Sfs is not None else
                jnp.zeros((na,), dt))
 
-    def call2d(wr, wi, dr, di):
-        return _ssq_fused_call(
-            wr, wi, dr, di, const_col, Sfs_col,
-            tuple(sorted(params.items())), float(gamma), bool(flipud),
-            perm, Sfs is not None, bool(interpret), T=int(T))
+    call2d = _ssq_fused_vjp_fn(
+        tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
+        Sfs is not None, bool(interpret), int(T))
+
+    def call(wr, wi, dr, di):
+        return call2d(wr, wi, dr, di, const_col, Sfs_col)
 
     if Wx.re.ndim == 3:
-        outr, outi = jax.vmap(call2d)(Wx.re, Wx.im, dWx.re, dWx.im)
+        outr, outi = jax.vmap(call)(Wx.re, Wx.im, dWx.re, dWx.im)
     else:
-        outr, outi = call2d(Wx.re, Wx.im, dWx.re, dWx.im)
+        outr, outi = call(Wx.re, Wx.im, dWx.re, dWx.im)
     return Complex(outr, outi)
 
 
@@ -381,13 +420,40 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, interpret, T=512):
     return out_re[:nbins, :N], out_im[:nbins, :N]
 
 
+@functools.lru_cache(maxsize=64)
+def _scatter_vjp_fn(nbins, perm, interpret, T):
+    """custom_vjp: Pallas scatter forward; backward is the adjoint gather
+    (via jax.vjp of the XLA scatter — bin indices are integer inputs and
+    carry no tangent)."""
+    def xla_ref(vre, vim, k, valid):
+        from .ssq_kernels import _scatter_xla
+        out = _scatter_xla(vre, vim, k, valid, nbins)
+        return out.re, out.im
+
+    @jax.custom_vjp
+    def f(vre, vim, k, valid):
+        return _scatter_call(vre, vim, k, valid, nbins, perm, interpret,
+                             T=T)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
                          interpret=False, T=512):
     """`out[k[i,j], j] += v[i,j]` via displacement shift passes.
     Any (na, nbins) geometry; out-of-range `k` dropped (XLA-scatter
-    parity). `natural_bins` (static, len na) only tunes locality."""
+    parity). `natural_bins` (static, len na) only tunes locality.
+    Differentiable in (vre, vim) (custom VJP: adjoint gather)."""
     na = vre.shape[-2]
     perm = _plan_perm(natural_bins, na)
-    outr, outi = _scatter_call(vre, vim, k, valid, nbins, perm,
-                               bool(interpret), T=int(T))
+    f = _scatter_vjp_fn(int(nbins), perm, bool(interpret), int(T))
+    outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)

@@ -255,26 +255,42 @@ def dryrun_multichip(n_devices):
     jax.block_until_ready(Tx.re)
 
     # gradient step: differentiate a reconstruction-style loss through the
-    # sharded forward (data-parallel grads psum'd by shard_map/jit)
+    # FULL sharded forward — FFT conv, phase transform, bin map, scatter,
+    # and the cross-chip psum (the scatter's VJP is a bin gather; bins are
+    # integer-valued and carry no tangent). Data-parallel grads are psum'd
+    # by shard_map/jit.
     scales_j = plan._scales_j
+    const_j = plan._const_j
     wavelet = plan.wavelet
+    params, gamma, flipud = plan.params, plan.gamma, plan.flipud
+    nbins = plan.nbins
 
     def loss_fn(x_in):
-        def per_shard(xp_pad, scales_blk):
-            Wx, _ = cwt_core(xp_pad, wavelet, scales_blk, 1.0, False, True,
-                             plan.n1, N, rpadded=False, is_2d=True)
-            # one-integral inverse (log scales, L1): sum Re(Wx) over scales
-            rec_part = Wx.re.sum(axis=-2)
-            rec = jax.lax.psum(rec_part, 'scale')
+        def per_shard(xp_pad, scales_blk, const_blk):
+            Wx, dWx = cwt_core(xp_pad, wavelet, scales_blk, 1.0, True,
+                               True, plan.n1, N, rpadded=False, is_2d=True)
+            w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
+            valid = Wx.abs2() > jnp.asarray(gamma, 'float32') ** 2
+            w = jnp.where(valid, w, jnp.inf)
+            k, kvalid = compute_bins(w, params, flipud)
+            valid = valid & kvalid
+            c = const_blk.reshape(1, -1, 1)
+            Tx_part = jax.vmap(
+                lambda a, b, kk, vv: _scatter_xla(a, b, kk, vv, nbins)
+            )(Wx.re * c, Wx.im * c, k, valid)
+            Tx_re = jax.lax.psum(Tx_part.re, 'scale')
+            # inverse through the reassigned plane: sum over bins
+            rec = Tx_re.sum(axis=-2)
             return ((rec - xp_pad[..., plan.n1:plan.n1 + N]) ** 2).mean(
                 keepdims=True)[..., None]
 
         fn = shard_map(per_shard, mesh=mesh,
-                       in_specs=(P('batch', None), P('scale', None)),
+                       in_specs=(P('batch', None), P('scale', None),
+                                 P('scale')),
                        out_specs=P('batch', None),
                        check_rep=False)
         xp_pad = padsignal(x_in, 'reflect')
-        return fn(xp_pad, scales_j).mean()
+        return fn(xp_pad, scales_j, const_j).mean()
 
     g = jax.jit(jax.grad(loss_fn))(jnp.asarray(x))
     jax.block_until_ready(g)
