@@ -56,20 +56,29 @@ def buffer(x, seg_len, n_overlap, modulated=False, parallel=None):
 
 def overlap_add_skew(rows, stride, out_len):
     """Device overlap-add: out[n] = sum_r rows[r, n - r*stride], rows
-    (R, C). Skew-reshape trick — pad each row by R*stride zeros, then
-    re-read the flat buffer with row width C + (R-1)*stride; element
-    (r, c) lands at flat position r*(C + R*stride) + c = r*W + (c + r*s),
-    i.e. row r shifted right by r*stride. One pad + reshape + column sum;
-    no gather/scatter (TPU-friendly, unlike the reference's serial
-    overlap-add loop, stft_utils.py:177-181)."""
+    (R, C). Block decomposition — with overlap factor K = ceil(C/s), the
+    row subsets `j::K` are mutually non-overlapping (their starts differ
+    by >= K*s >= C), so each subset lays out into the output by a PURE
+    reshape (pad row width to K*s, flatten); the K flattened parts are
+    then summed with static shifts j*s. No gather/scatter (TPU-friendly,
+    unlike the reference's serial overlap-add loop, stft_utils.py:177),
+    and O(K * out_len) peak memory — independent of R (a naive
+    whole-plane skew is O(R^2 * s) and OOMs at STFT frame counts)."""
     R, C = rows.shape
     s = int(stride)
     if s == 0:
         return rows.sum(0)[:out_len]
-    P = jnp.pad(rows, ((0, 0), (0, R * s)))     # (R, C + R*s)
-    W = C + (R - 1) * s                          # full overlapped span
-    S = P.reshape(-1)[: R * W].reshape(R, W)
-    return S.sum(0)[:out_len]
+    K = -(-C // s)
+    R_pad = -(-R // K) * K
+    P = jnp.pad(rows, ((0, R_pad - R), (0, K * s - C)))  # (R_pad, K*s)
+    L = (R_pad // K) * K * s                             # per-part span
+    span = L + (K - 1) * s
+    parts = [jnp.pad(P[j::K].reshape(-1), (j * s, (K - 1 - j) * s))
+             for j in range(K)]
+    out = jnp.sum(jnp.stack(parts), axis=0)              # (span,)
+    if span < out_len:
+        out = jnp.pad(out, (0, out_len - span))
+    return out[:out_len]
 
 
 def _overlap_add_np(xbuf, window, hop_len, n_fft):

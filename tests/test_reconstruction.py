@@ -195,3 +195,23 @@ def test_inverse_device_vs_numpy_inputs():
     z1 = stq.issq_stft(Ts, n_fft=128)
     z2 = stq.issq_stft(Ts.to_numpy(), n_fft=128)
     assert np.allclose(z1, z2, atol=1e-6)
+
+
+def test_istft_batched_matches_loop():
+    """Batched (B, n_fft//2+1, n_segs) istft == per-sample istft; exact
+    round trip (device OLA path, VERDICT r1 #7)."""
+    import jax.numpy as jnp
+    from ssqueezepy_tpu.ops.complexlib import Complex
+    rng = np.random.default_rng(0)
+    N, n_fft, hop = 1000, 128, 4
+    xb = rng.standard_normal((3, N))
+    Sxs = [stft(xb[b], n_fft=n_fft, hop_len=hop, dtype='float64')
+           for b in range(3)]
+    Sb = Complex(jnp.stack([s.re for s in Sxs]),
+                 jnp.stack([s.im for s in Sxs]))
+    xr_b = istft(Sb, n_fft=n_fft, hop_len=hop, N=N)
+    assert xr_b.shape == (3, N)
+    for b in range(3):
+        xr_1 = istft(Sxs[b], n_fft=n_fft, hop_len=hop, N=N)
+        assert np.abs(xr_b[b] - xr_1).max() < 1e-14
+        assert np.abs(xr_1 - xb[b]).mean() < 1e-12
