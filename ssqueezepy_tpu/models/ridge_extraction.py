@@ -62,8 +62,10 @@ def _fw_bw_jit(penalty_matrix, energy_nl, eps):
 def extract_ridges(Tf, scales, penalty=2., n_ridges=1, bw=15,
                    transform='cwt', get_params=False, parallel=True):
     """Track `n_ridges` maximum-energy ridges (reference
-    ridge_extraction.py:11-146). Returns `ridge_idxs`
-    [n_timeshifts x n_ridges] (+`ridge_f`, `ridge_e` if `get_params`)."""
+    ridge_extraction.py:11-146). 2D `Tf` (na, T) returns `ridge_idxs`
+    (T, n_ridges); batched 3D `Tf` (B, na, T) returns (B, T, n_ridges)
+    — the DP scan is vmapped over the batch (no reference analog).
+    `get_params` adds (`ridge_f`, `ridge_e`)."""
     if isinstance(Tf, Complex):
         eps = EPS64 if str(Tf.dtype) == 'float64' else EPS32
         energy = np.asarray(Tf.abs2())
@@ -74,35 +76,46 @@ def extract_ridges(Tf, scales, penalty=2., n_ridges=1, bw=15,
         dtype = np.float64 if Tf.dtype == np.complex128 else np.float32
         energy = np.abs(Tf) ** 2
 
+    was_2d = (energy.ndim == 2)
+    if was_2d:
+        energy = energy[None]
+    B, n_rows, n_timeshifts = energy.shape
+
     scales = np.asarray(scales, dtype=dtype)
     scales_orig = scales.copy()
     scales_v = (np.log(scales) if transform == 'cwt' else scales).squeeze()
 
-    n_timeshifts = energy.shape[1]
-    ridge_idxs = np.zeros((n_timeshifts, n_ridges), dtype=int)
+    ridge_idxs = np.zeros((B, n_timeshifts, n_ridges), dtype=int)
     if get_params:
-        ridge_f = np.zeros((n_timeshifts, n_ridges), dtype=dtype)
-        ridge_e = np.zeros((n_timeshifts, n_ridges), dtype=dtype)
+        ridge_f = np.zeros((B, n_timeshifts, n_ridges), dtype=dtype)
+        ridge_e = np.zeros((B, n_timeshifts, n_ridges), dtype=dtype)
 
     penalty_matrix = np.asarray(penalty, dtype) * \
         np.subtract.outer(scales_v, scales_v) ** 2
     P_j = jnp.asarray(penalty_matrix.squeeze().astype(dtype))
 
-    run = jax.jit(lambda e: _fw_bw_jit(P_j, e, dtype(eps)))
+    run = jax.jit(jax.vmap(lambda e: _fw_bw_jit(P_j, e, dtype(eps))))
+    rows = np.arange(n_rows)[:, None]                  # (na, 1)
 
     for i in range(n_ridges):
-        energy_max = energy.max(axis=0)
+        energy_max = energy.max(axis=1, keepdims=True)
         energy_nl = -np.log(energy / energy_max + eps)
         ridge = np.asarray(run(jnp.asarray(energy_nl.astype(dtype))))
-        ridge_idxs[:, i] = ridge
+        ridge_idxs[..., i] = ridge                     # (B, T)
 
         if get_params:
-            ridge_f[:, i] = scales_orig.squeeze()[ridge]
-            ridge_e[:, i] = energy[ridge, np.arange(n_timeshifts)]
+            ridge_f[..., i] = scales_orig.squeeze()[ridge]
+            ridge_e[..., i] = np.take_along_axis(
+                energy, ridge[:, None, :], axis=1)[:, 0]
 
-        # zero +-bw bins around the found ridge for the next extraction
-        for time_idx in range(n_timeshifts):
-            ridx = ridge_idxs[time_idx, i]
-            energy[max(0, int(ridx - bw)):int(ridx + bw), time_idx] = 0
+        # zero +-bw bins around each found ridge for the next extraction
+        # (one broadcast mask instead of a Python loop over time steps)
+        kill = (rows >= ridge[:, None, :] - bw) & \
+               (rows < ridge[:, None, :] + bw)         # (B, na, T)
+        energy[kill] = 0
 
+    if was_2d:
+        ridge_idxs = ridge_idxs[0]
+        if get_params:
+            ridge_f, ridge_e = ridge_f[0], ridge_e[0]
     return ((ridge_idxs, ridge_f, ridge_e) if get_params else ridge_idxs)

@@ -196,3 +196,21 @@ def test_est_riskshrink_thresh():
                  astensor=False)
     g = stq.est_riskshrink_thresh(Wx, nv=32)
     assert np.isfinite(g) and g > 0
+
+
+def test_extract_ridges_batched_matches_loop():
+    """(B, na, T) input == per-sample extraction (vmapped DP scan)."""
+    rng = np.random.default_rng(0)
+    B, na, T = 3, 40, 200
+    Tf = rng.standard_normal((B, na, T)) + 1j * rng.standard_normal(
+        (B, na, T))
+    # plant distinct ridges per sample
+    for b in range(B):
+        r = (10 + 5 * b + 8 * np.sin(np.linspace(0, 3, T))).astype(int)
+        Tf[b, r, np.arange(T)] += 30
+    scales = np.arange(1, na + 1).astype(float)
+    rb = extract_ridges(Tf, scales, penalty=2., n_ridges=2, bw=4)
+    assert rb.shape == (B, T, 2)
+    for b in range(B):
+        r1 = extract_ridges(Tf[b], scales, penalty=2., n_ridges=2, bw=4)
+        assert np.array_equal(rb[b], r1), b
