@@ -105,10 +105,14 @@ class TimeShardedSSQCWT:
         self.n_up = _next_fft_len(n_ext)
         self.pad_extra = self.n_up - n_ext
 
-        # Scales whose time support exceeds the halo can't ride the
-        # overlap-save path (SURVEY.md §5.8c): they are computed EXACTLY on
-        # the all-gathered signal instead (few rows — log grids downsample
-        # high scales — and the gather of x itself is tiny).
+        # Two classes of scales can't ride the overlap-save path and are
+        # computed EXACTLY on the all-gathered signal instead (few rows;
+        # the gather of x itself is tiny):
+        #  * large scales whose time support exceeds the halo
+        #    (SURVEY.md §5.8c), and
+        #  * small scales whose psih is non-negligible AT Nyquist — the
+        #    spectral truncation rings with only ~1/t time decay, which
+        #    outlives any halo (measured ~1e-3 interior error otherwise).
         s_ref = float(np.clip(10., scales_np.min(), scales_np.max()))
         try:
             sigma1 = float(time_resolution(self.wavelet, s_ref, N=N,
@@ -117,11 +121,16 @@ class TimeShardedSSQCWT:
         except Exception:
             sigma1 = 3.5
         support = halo_mult * sigma1 * scales_np.squeeze()
-        local_mask = support <= halo
-        # scales ascend, so the local set is the prefix before the first
-        # over-support scale
-        self.n_local = int(np.argmax(~local_mask)) if (~local_mask).any() \
+        over = support > halo
+        # scales ascend, so over-support rows are a suffix
+        self.n_local = int(np.argmax(over)) if over.any() \
             else len(scales_np)
+        fb = self.wavelet.filterbank_np(scales_np.squeeze(), N=64,
+                                        nohalf=True)
+        nyq_ring = fb[:, 32] > 1e-3 * fb.max()
+        self.n_lo = (int(np.nonzero(nyq_ring)[0].max()) + 1
+                     if nyq_ring.any() else 0)
+        self.n_lo = min(self.n_lo, self.n_local)
         from ..ops.pad import pad_params
         self.g_nup, self.g_n1, _ = pad_params(N, 'reflect')
 
@@ -165,6 +174,7 @@ class TimeShardedSSQCWT:
         derivative = self.derivative
 
         n_local = self.n_local
+        n_lo = self.n_lo
         g_nup, g_n1 = self.g_nup, self.g_n1
         # time shards hold ALL scale rows, so the global natural-bin hint
         # applies unchanged (identical for every shard -> one trace)
@@ -195,28 +205,30 @@ class TimeShardedSSQCWT:
                 xe = jnp.concatenate(
                     [xe, _reflect(xe, pad_extra, False)], axis=-1)
 
-            # overlap-save rows (support fits the halo)
-            Wx, dWx = cwt_core(xe, wavelet, scales_blk[:n_local], dt,
+            # overlap-save rows (halo-sized support, Nyquist-decayed)
+            Wx, dWx = cwt_core(xe, wavelet, scales_blk[n_lo:n_local], dt,
                                derivative=True, l1_norm=True, n1=H, N=C,
                                rpadded=False, is_2d=True)
 
-            if n_local < scales_blk.shape[0]:
-                # over-support rows: exact global convolution on the
-                # all-gathered signal, sliced to this chip's columns
+            if n_lo > 0 or n_local < scales_blk.shape[0]:
+                # exact rows (Nyquist-ringing prefix + over-support
+                # suffix): global convolution on the all-gathered signal,
+                # sliced to this chip's columns
                 xg = jax.lax.all_gather(xc, 'time', axis=-1, tiled=True)
                 from ..ops.pad import padsignal
                 xgp = padsignal(xg, 'reflect')
-                Wg, dWg = cwt_core(xgp, wavelet, scales_blk[n_local:], dt,
+                scales_g = jnp.concatenate(
+                    [scales_blk[:n_lo], scales_blk[n_local:]], axis=0)
+                Wg, dWg = cwt_core(xgp, wavelet, scales_g, dt,
                                    derivative=True, l1_norm=True, n1=g_n1,
                                    N=xg.shape[-1], rpadded=False,
                                    is_2d=True)
                 sl = (lambda a: jax.lax.dynamic_slice_in_dim(
                     a, i * C, C, axis=-1))
-                Wx = Complex(jnp.concatenate([Wx.re, sl(Wg.re)], axis=-2),
-                             jnp.concatenate([Wx.im, sl(Wg.im)], axis=-2))
-                dWx = Complex(
-                    jnp.concatenate([dWx.re, sl(dWg.re)], axis=-2),
-                    jnp.concatenate([dWx.im, sl(dWg.im)], axis=-2))
+                cat = (lambda g, x: jnp.concatenate(
+                    [sl(g[:, :n_lo]), x, sl(g[:, n_lo:])], axis=-2))
+                Wx = Complex(cat(Wg.re, Wx.re), cat(Wg.im, Wx.im))
+                dWx = Complex(cat(dWg.re, dWx.re), cat(dWg.im, dWx.im))
             # fused phase + bin + scatter on local columns
             w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
             valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2

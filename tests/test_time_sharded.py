@@ -83,3 +83,70 @@ def test_time_sharded_vs_mesh_shapes():
     Tx, Wx, dWx = plan(xb)
     assert Tx.shape == (4, len(plan.scales_np), N)
     assert Wx.shape == (4, len(plan.scales_np), N)
+
+
+@pytest.mark.parametrize('scales,mesh_shape', [
+    ('log-piecewise', (2, 4)), ('log-piecewise', (1, 8)),
+    ('log', (1, 8)), ('linear', (2, 4)),
+])
+def test_time_sharded_cwt_scaletypes(scales, mesh_shape):
+    """Overlap-save equality across scale types and mesh shapes
+    (VERDICT r1 #10: log-piecewise was untested though supported)."""
+    N = 4096
+    b, t = mesh_shape
+    xb = _signal(N, B=max(b, 2) if b > 1 else 1)
+    if b == 1:
+        xb = xb[:1]
+    mesh = make_mesh_time(batch=b, time=t)
+
+    Wx_sh, scales_out = time_sharded_cwt(xb, 'gmw', scales=scales, nv=16,
+                                         mesh=mesh)
+    Wx_sh = Wx_sh.to_numpy()
+    Wx_ref, scales_ref = stq.cwt(xb, 'gmw', scales=scales, nv=16,
+                                 astensor=False)
+    assert np.allclose(scales_out, scales_ref)
+    m = 64
+    rel = (np.abs(Wx_sh[..., m:-m] - Wx_ref[..., m:-m]).max()
+           / np.abs(Wx_ref).max())
+    # tighter than the r1 suite's 5e-3: halo truncation tails only
+    assert rel < 1e-3, (scales, mesh_shape, rel)
+
+
+def test_time_sharded_small_halo_triggers_allgather():
+    """A halo too small for the largest scales must route those rows
+    through the exact all-gather path (regression for the over-support
+    branch, time_sharded.py) and still match the unsharded transform."""
+    N = 2048
+    xb = _signal(N, B=1)[:1]
+    mesh = make_mesh_time(batch=1, time=8)  # chunks of 256
+    plan = TimeShardedSSQCWT(N, 'gmw', scales='log', nv=16, mesh=mesh,
+                             halo=96)
+    # the plan MUST have split the scales: some local, some global
+    assert 0 < plan.n_local < len(plan.scales_np), \
+        (plan.n_local, len(plan.scales_np))
+    _, Wx, _ = plan(xb)
+    Wx_sh = Wx.to_numpy()
+    Wx_ref, _ = stq.cwt(xb, 'gmw', scales='log', nv=16, astensor=False)
+    m = 64
+    rel = (np.abs(Wx_sh[..., m:-m] - Wx_ref[..., m:-m]).max()
+           / np.abs(Wx_ref).max())
+    assert rel < 2e-3, rel
+    # the over-support (all-gathered) rows specifically must be EXACT
+    # (same global convolution), not just tail-accurate
+    g = plan.n_local
+    rel_g = (np.abs(Wx_sh[..., g:, :] - Wx_ref[..., g:, :]).max()
+             / max(np.abs(Wx_ref[..., g:, :]).max(), 1e-9))
+    assert rel_g < 2e-5, rel_g
+
+
+def test_time_sharded_ssq_log_piecewise_reconstructs():
+    N = 4096
+    xb = _signal(N)
+    mesh = make_mesh_time(batch=2, time=4)
+    plan = TimeShardedSSQCWT(N, 'gmw', scales='log-piecewise', nv=16,
+                             mesh=mesh)
+    Tx, _, _ = plan(xb)
+    Tx = Tx.to_numpy()
+    for b in range(xb.shape[0]):
+        err = stq.toolkit.mad_rms(xb[b], stq.issq_cwt(Tx[b]))
+        assert err < 0.1, err
