@@ -41,7 +41,8 @@ def main():
 
     import jax
     from ssqueezepy_tpu.parallel import (ShardedSSQCWT, make_mesh,
-                                         TimeShardedSSQCWT, make_mesh_time)
+                                         TimeShardedSSQCWT, make_mesh_time,
+                                         FullShardedSSQCWT, make_mesh3)
 
     devs = jax.devices()
     if len(devs) < 2:
@@ -50,34 +51,52 @@ def main():
     N, B = args.n, args.batch
     rng = np.random.default_rng(0)
     x = rng.standard_normal((B, N)).astype(np.float32)
+    wav = ('gmw', {'dtype': 'float32'})
+    results = []
 
-    # 1 "chip": mesh (1, 1)
-    plan1 = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', nv=16,
-                          mesh=make_mesh(batch=1, scale=1,
-                                         devices=devs[:1]))
-    t1 = _bench(plan1, x)
-    print(json.dumps({'config': '1-dev', 'sec': round(t1, 4)}), flush=True)
+    def rec(config, sec, t1=None):
+        row = {'config': config, 'sec': round(sec, 4)}
+        if t1 is not None:
+            row['speedup_vs_1dev'] = round(t1 / sec, 2)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        return sec
 
-    # n-dev scale-sharded
-    plan_s = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', nv=16,
-                           mesh=make_mesh(batch=1, scale=n_dev,
-                                          devices=devs))
-    ts = _bench(plan_s, x)
-    print(json.dumps({'config': f'{n_dev}-dev scale-sharded',
-                      'sec': round(ts, 4),
-                      'speedup_vs_1dev': round(t1 / ts, 2),
-                      'efficiency': round(t1 / ts / n_dev, 2)}),
-          flush=True)
+    # device sweep: 1, 2, 4, ..., n_dev
+    sweep = [d for d in (1, 2, 4, 8, 16, 32) if d <= n_dev]
+    t1 = None
+    for d in sweep:
+        plan = ShardedSSQCWT(N, wav, 'log', nv=16,
+                             mesh=make_mesh(batch=1, scale=d,
+                                            devices=devs[:d]))
+        t = _bench(plan, x)
+        if d == 1:
+            t1 = t
+        row = rec(f'{d}-dev scale-sharded', t, t1 if d > 1 else None)
+        if d > 1:
+            results[-1]['efficiency'] = round(t1 / t / d, 2)
 
-    # n-dev time-sharded (context parallel)
-    plan_t = TimeShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
-                               nv=16,
-                               mesh=make_mesh_time(batch=1, time=n_dev,
-                                                   devices=devs))
-    tt = _bench(plan_t, x)
-    print(json.dumps({'config': f'{n_dev}-dev time-sharded',
-                      'sec': round(tt, 4),
-                      'speedup_vs_1dev': round(t1 / tt, 2)}), flush=True)
+    for d in sweep[1:]:
+        plan = ShardedSSQCWT(N, wav, 'log', nv=16,
+                             mesh=make_mesh(batch=d, scale=1,
+                                            devices=devs[:d]))
+        rec(f'{d}-dev batch-sharded', _bench(plan, x), t1)
+
+    for d in sweep[1:]:
+        plan = TimeShardedSSQCWT(N, wav, 'log', nv=16,
+                                 mesh=make_mesh_time(batch=1, time=d,
+                                                     devices=devs[:d]))
+        rec(f'{d}-dev time-sharded', _bench(plan, x), t1)
+
+    if n_dev >= 8:
+        plan = FullShardedSSQCWT(N, wav, 'log', nv=16,
+                                 mesh=make_mesh3(batch=2, scale=2,
+                                                 time=n_dev // 4,
+                                                 devices=devs))
+        rec(f'{n_dev}-dev batch2 x scale2 x time{n_dev // 4}',
+            _bench(plan, x), t1)
+
+    return results
 
 
 if __name__ == '__main__':

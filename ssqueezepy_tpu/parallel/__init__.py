@@ -12,9 +12,11 @@ from .sharded import (sharded_ssq_cwt, sharded_cwt, ShardedSSQCWT,
                       dryrun_multichip)
 from .time_sharded import (TimeShardedSSQCWT, time_sharded_cwt,
                            time_sharded_ssq_cwt, make_mesh_time)
+from .full_sharded import FullShardedSSQCWT, make_mesh3
 from .distributed import init_distributed, make_host_chip_mesh
 
 __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
            'ShardedSSQCWT', 'dryrun_multichip', 'TimeShardedSSQCWT',
            'time_sharded_cwt', 'time_sharded_ssq_cwt', 'make_mesh_time',
-           'init_distributed', 'make_host_chip_mesh']
+           'init_distributed', 'make_host_chip_mesh', 'FullShardedSSQCWT',
+           'make_mesh3']

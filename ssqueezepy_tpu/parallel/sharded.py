@@ -307,4 +307,17 @@ def dryrun_multichip(n_devices):
     Tt, Wt, dWt = tplan(x)
     jax.block_until_ready(Tt.re)
     assert np.isfinite(np.asarray(Tt.re)).all()
+
+    # full three-axis composition: batch x scale x time in ONE shard_map
+    # (SURVEY.md §5.8 Mesh(('data','scale','time')))
+    if n_devices % 4 == 0:
+        from .full_sharded import FullShardedSSQCWT, make_mesh3
+        m3 = make_mesh3(batch=batch_axis, scale=2,
+                        time=n_devices // (2 * batch_axis),
+                        devices=devices)
+        p3 = FullShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                               nv=8, mesh=m3)
+        T3 = p3(x)
+        jax.block_until_ready(T3.re)
+        assert np.isfinite(np.asarray(T3.re)).all()
     return True
