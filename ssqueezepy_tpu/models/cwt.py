@@ -87,7 +87,7 @@ def _process_gmw_wavelet(wavelet, l1_norm):
 # traceable core (used by cwt and fused into ssq_cwt's single jit)
 # --------------------------------------------------------------------------
 def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
-             rpadded=False, is_2d=False):
+             rpadded=False, is_2d=False, deriv_lowprec=False):
     """Vectorized FFT-convolution CWT over padded input.
 
     xp_pad: real (..., n_up) jnp array (padded signal)
@@ -129,7 +129,8 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
                 if not isinstance(psih_probe, tuple):  # real-valued psih
                     return cwt_fused_pallas(xh, scales_j, wavelet, n_up,
                                             n1, N, dt, derivative, l1_norm,
-                                            interpret=interp)
+                                            interpret=interp,
+                                            deriv_lowprec=deriv_lowprec)
     if is_2d:
         xh = Complex(xh.re[:, None], xh.im[:, None])
 
@@ -266,12 +267,18 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
                       (wavelet,), padtype)
     if isinstance(scales, str):
         skey = (scales, N, _wavelet_key(wavelet), nv, dtype)
-        scales_j = _SCALES_DEV_CACHE.get(skey)
-        if scales_j is None:
-            scales_j = jnp.asarray(scales_np, dtype=dtype)
-            _SCALES_DEV_CACHE[skey] = scales_j
+    elif isinstance(scales, np.ndarray):
+        # array specs (the reference benchmark's own protocol) cache by
+        # content hash — re-uploading 300 scales per call costs a device
+        # round trip each
+        skey = (hash(scales.tobytes()), scales.shape, N, nv, dtype)
     else:
+        skey = None
+    scales_j = _SCALES_DEV_CACHE.get(skey) if skey is not None else None
+    if scales_j is None:
         scales_j = jnp.asarray(scales_np, dtype=dtype)
+        if skey is not None:
+            _SCALES_DEV_CACHE[skey] = scales_j
     Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype))
 
     scales_out = scales_np.squeeze()

@@ -34,7 +34,8 @@ __all__ = ['ssq_cwt', 'issq_cwt']
 @functools.lru_cache(maxsize=32)
 def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                  flipud, squeezing, param_items, gamma, Sfs_none,
-                 natural_key, wavelet_ref, const_key, padtype='reflect'):
+                 natural_key, wavelet_ref, const_key, padtype='reflect',
+                 deriv_lowprec=False):
     """Cached fused jit: RAW signal -> (Tx, Wx, dWx). NaN scrub and
     padding run inside the jit (eager device ops cost a full dispatch
     round trip each on the tunneled backend)."""
@@ -48,7 +49,8 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         xj = jnp.where(jnp.isfinite(xj), xj, 0)
         xp_pad = padsignal(xj, padtype) if padtype is not None else xj
         Wx, dWx = cwt_core(xp_pad, wavelet, scales_j, dt, True, l1_norm,
-                           n1, N, rpadded=False, is_2d=is_2d)
+                           n1, N, rpadded=False, is_2d=is_2d,
+                           deriv_lowprec=deriv_lowprec)
         Wx_s = _apply_squeezing(Wx, squeezing)
         Tx = ssqueeze_fast(Wx_s, dWx, None, const,
                            logscale=params['mode'] != 'lin',
@@ -78,29 +80,48 @@ def _device_plan_arrays(key, scales_np, const, dtype):
 _PLAN_CACHE = {}
 
 
+def _spec_key(spec):
+    """Hashable key for a scales/ssq_freqs spec: strings pass through,
+    arrays key by content hash (the reference's own benchmark passes
+    precomputed scale arrays — rebuilding the plan per call costs more
+    than the 10k transform itself)."""
+    if spec is None or isinstance(spec, str):
+        return spec
+    if isinstance(spec, np.ndarray):
+        return ('nd', hash(spec.tobytes()), spec.shape, str(spec.dtype))
+    return None
+
+
 def _ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange, was_padded,
                   dt, flipud):
     """Host-side plan: scales, ssq frequency grid, squeeze constant, bin
-    params, natural bins. Memoized for hashable (string) specs — the
+    params, natural bins. Memoized for string AND array specs — the
     scale-bound searches and center-frequency integrals cost ~100ms+ per
     call otherwise."""
-    cacheable = (isinstance(scales, str) and
-                 (ssq_freqs is None or isinstance(ssq_freqs, str)) and
+    skey, fkey = _spec_key(scales), _spec_key(ssq_freqs)
+    cacheable = (skey is not None and
+                 (ssq_freqs is None or fkey is not None) and
                  not isinstance(maprange, (tuple, list)))
     key = None
     if cacheable:
         from .cwt import _wavelet_key
-        key = (_wavelet_key(wavelet), N, scales, nv, ssq_freqs, maprange,
+        key = (_wavelet_key(wavelet), N, skey, nv, fkey, maprange,
                was_padded, float(dt), bool(flipud))
         hit = _PLAN_CACHE.get(key)
         if hit is not None:
             return hit
-        # disk layer (wisdom analog): restores the full numeric plan
-        # across sessions (utils/plan_cache.py)
-        from ..utils.plan_cache import disk_memo
-        out = disk_memo(('ssq_cwt_plan',) + key, lambda: _build_ssq_cwt_plan(
-            wavelet, N, scales, nv, ssq_freqs, maprange, was_padded, dt,
-            flipud))
+        if isinstance(scales, str) and (ssq_freqs is None or
+                                        isinstance(ssq_freqs, str)):
+            # disk layer (wisdom analog): restores the full numeric plan
+            # across sessions (utils/plan_cache.py)
+            from ..utils.plan_cache import disk_memo
+            out = disk_memo(
+                ('ssq_cwt_plan',) + key, lambda: _build_ssq_cwt_plan(
+                    wavelet, N, scales, nv, ssq_freqs, maprange,
+                    was_padded, dt, flipud))
+        else:
+            out = _build_ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs,
+                                      maprange, was_padded, dt, flipud)
         _PLAN_CACHE[key] = out
         return out
     return _build_ssq_cwt_plan(wavelet, N, scales, nv, ssq_freqs, maprange,
@@ -199,10 +220,10 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
 
     was_padded = bool(padtype is not None)
     devkey = None
-    if (isinstance(scales, str) and
-            (ssq_freqs is None or isinstance(ssq_freqs, str)) and
+    skey, fkey = _spec_key(scales), _spec_key(ssq_freqs)
+    if (skey is not None and (ssq_freqs is None or fkey is not None) and
             not isinstance(maprange, (tuple, list))):
-        devkey = (_wavelet_key(wavelet), N, scales, nv, ssq_freqs,
+        devkey = (_wavelet_key(wavelet), N, skey, nv, fkey,
                   maprange, was_padded, float(dt), bool(flipud))
     (scales_np, cwt_scaletype, nv_, ssq_freqs, ssq_scaletype, const,
      params, natural, logscale) = _ssq_cwt_plan(
@@ -231,7 +252,11 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         bool(flipud), squeezing if isinstance(squeezing, str) else None,
         tuple(sorted(params.items())), gamma, True,
         tuple(natural.tolist()) if natural is not None else None,
-        (wavelet,), str(np.asarray(const).shape), padtype)
+        (wavelet,), str(np.asarray(const).shape), padtype,
+        # dWx feeds only the reassignment bin index unless the caller
+        # asked for it back: run its IFFT pipeline in single-pass bf16
+        # (see ops/cwt_pallas._dot_lo; +-1-bin criterion)
+        deriv_lowprec=not get_dWx)
     scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
                                             dtype)
     Tx, Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype), const_j)

@@ -53,8 +53,21 @@ def _dot(a, b):
             jax.lax.dot_general(a_lo, b_hi, **kw))
 
 
+def _dot_lo(a, b):
+    """Single-pass bf16 dot (~3 decimal digits). Used for the derivative
+    pipeline when dWx only feeds the reassignment BIN INDEX: the phase
+    transform's relative error ~2^-8 moves log-spaced bins by ~0.1 — well
+    inside the reference's own +-1-bin equivalence criterion
+    (algos.py:288-293) — while costing 1/3 the MXU passes."""
+    dn = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16),
+                               dimension_numbers=dn, precision=_PREC,
+                               preferred_element_type=jnp.float32)
+
+
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
-                 dtype, na_mod=None):
+                 dtype, na_mod=None, deriv_lowprec=False):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
@@ -80,28 +93,29 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
 
         w2re, w2im = w2re_r[:], w2im_r[:]              # (f2, k2span)
 
-        def pipeline(Pre, Pim, out_re_r, out_im_r):
+        def pipeline(Pre, Pim, out_re_r, out_im_r, dot):
             for h in range(nh):
                 sl = slice(h * hk1, (h + 1) * hk1)
                 # stage 1: A[k1, m2] = sum_m1 W[k1, m1] P[m1, m2]
                 wre, wim = wre_r[sl], wim_r[sl]        # (hk1, rows0)
-                Are = _dot(wre, Pre) - _dot(wim, Pim)
-                Aim = _dot(wre, Pim) + _dot(wim, Pre)
+                Are = dot(wre, Pre) - dot(wim, Pim)
+                Aim = dot(wre, Pim) + dot(wim, Pre)
                 # twiddle W_n^{k1 m2}
                 tre, tim = tre_r[sl], tim_r[sl]        # (hk1, f2)
                 Atre = Are * tre - Aim * tim
                 Atim = Are * tim + Aim * tre
                 # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
-                Ere = _dot(Atre, w2re) - _dot(Atim, w2im)  # (hk1, k2span)
+                Ere = dot(Atre, w2re) - dot(Atim, w2im)  # (hk1, k2span)
                 out_re_r[0, :, sl] = Ere.T
-                Eim = _dot(Atre, w2im) + _dot(Atim, w2re)
+                Eim = dot(Atre, w2im) + dot(Atim, w2re)
                 out_im_r[0, :, sl] = Eim.T
 
-        pipeline(Pre, Pim, outs[0], outs[1])
+        pipeline(Pre, Pim, outs[0], outs[1], _dot)
         if deriv:
             # spectral derivative: multiply spectrum by 1j * xi / dt
             xid = xi * invdt_r[0, 0]
-            pipeline(-xid * Pim, xid * Pre, outs[2], outs[3])
+            pipeline(-xid * Pim, xid * Pre, outs[2], outs[3],
+                     _dot_lo if deriv_lowprec else _dot)
 
     return kernel
 
@@ -123,19 +137,23 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
 
 @functools.partial(
     jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
-                              'l1_norm', 'dtype', 'interpret'))
+                              'l1_norm', 'dtype', 'interpret',
+                              'deriv_lowprec'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
-                    deriv, l1_norm, dtype, interpret=False):
+                    deriv, l1_norm, dtype, interpret=False,
+                    deriv_lowprec=False):
     # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
     # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
     # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
     # per-m3-sliced hybrids measured net-neutral. Balanced 2-stage it is.
     return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
-                            n_up, n1, N, deriv, l1_norm, dtype, interpret)
+                            n_up, n1, N, deriv, l1_norm, dtype, interpret,
+                            deriv_lowprec)
 
 
 def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
-                     deriv, l1_norm, dtype, interpret=False):
+                     deriv, l1_norm, dtype, interpret=False,
+                     deriv_lowprec=False):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
@@ -203,7 +221,8 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
 
     kernel = _make_kernel(wavelet.fn, rows0, f1, f2, k2span, deriv,
                           l1_norm, jnp.dtype(dt_s),
-                          na_mod=(na if batched else None))
+                          na_mod=(na if batched else None),
+                          deriv_lowprec=deriv_lowprec)
     args = [scales.reshape(na, 1).astype(dt_s),
             jnp.asarray(inv_dt, dt_s).reshape(1, 1),
             jnp.asarray(xi_blk, dt_s), xr.astype(dt_s), xi_.astype(dt_s),
@@ -265,7 +284,7 @@ def _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up, n1, N,
 
 @functools.lru_cache(maxsize=32)
 def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
-                      interpret):
+                      interpret, deriv_lowprec=False):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     half-spectrum formulation (exact adjoint of the linear transform,
     incl. gradients w.r.t. `scales` through the wavelet synthesis)."""
@@ -279,7 +298,7 @@ def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
     def f(xh_re, xh_im, scales, inv_dt):
         return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                                n_up, n1, N, deriv, l1_norm, dtype,
-                               interpret)
+                               interpret, deriv_lowprec)
 
     def f_fwd(*args):
         return f(*args), args
@@ -293,7 +312,7 @@ def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
 
 
 def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
-                     l1_norm, interpret=False):
+                     l1_norm, interpret=False, deriv_lowprec=False):
     """Fused CWT rows from the HALF spectrum `xh` (Complex, length
     n_up//2+1). Returns (Wx, dWx or None), unpadded natural order.
     Both pipelines (Wx and its spectral derivative) run in ONE kernel,
@@ -304,7 +323,7 @@ def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
     inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
     f = _cwt_fused_vjp_fn((wavelet,), int(n_up), int(n1), int(N),
                           bool(derivative), bool(l1_norm), dtype,
-                          bool(interpret))
+                          bool(interpret), bool(deriv_lowprec))
     outs = f(xh.re, xh.im, scales, inv_dt)
     Wx = Complex(outs[0], outs[1])
     dWx = Complex(outs[2], outs[3]) if derivative else None
