@@ -2,8 +2,16 @@
 """Synchrosqueezed STFT (forward & inverse).
 
 Behavioral reference: `/root/reference/ssqueezepy/_ssq_stft.py`
-(ssq_stft :13, issq_stft :139, phase_stft via ops/phase.py)."""
+(ssq_stft :13, issq_stft :139, phase_stft via ops/phase.py).
+
+The fast path (difftype-free, `get_w=False`) runs STFT + phase +
+reassignment as ONE cached jit per plan — eager per-call dispatches
+through the device tunnel (~3.5ms RTT each) dominated small-N latency
+otherwise."""
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.complexlib import Complex, as_complex
@@ -15,10 +23,58 @@ from ..utils.cwt_utils import _process_fs_and_t, infer_scaletype
 from .ssqueezing import _check_ssqueezing_args
 from .stft import stft, istft
 from .windows import get_window, _check_NOLA
-from .ssq_cwt import (_invert_components,
+from .ssq_cwt import (_invert_components, _apply_squeezing,
                       _process_component_inversion_args)
 
 __all__ = ['ssq_stft', 'issq_stft']
+
+
+@functools.lru_cache(maxsize=32)
+def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
+                       padtype, padlength, fs_val, flipud, squeezing,
+                       param_items, gamma, natural_key, sfs_key,
+                       const_val):
+    """Cached fused jit: raw signal -> (Tx, Sx, dSx). Traces the
+    convolution-form (or framed) STFT and the fused reassignment into one
+    program; all plan constants are static."""
+    from ..configs import backend
+    from ..ops.stft_conv import stft_conv, stft_conv_applicable
+    from .stft import _stft_jit
+    params = dict(param_items)
+    natural = np.asarray(natural_key, np.int32) if natural_key else None
+    Sfs_np = np.asarray(sfs_key, dtype)
+    const = float(const_val)
+    use_conv = stft_conv_applicable(hop_len, backend())
+    N = shape[-1]
+    is_2d = (len(shape) == 2)
+
+    # build inner runners + device tables EAGERLY (this factory runs
+    # outside any trace): device_put inside an active trace returns a
+    # tracer, and lru-cached closures would leak it into later traces
+    if use_conv:
+        from ..ops.stft_conv import _device_filterbank, _next_fft_len
+        _device_filterbank(win_key, int(n_fft), int(_next_fft_len(
+            padlength)), bool(modulated), dtype)
+        framed_runner = None
+    else:
+        framed_runner = _stft_jit(shape, dtype, n_fft, hop_len, 0,
+                                  modulated, True, is_2d, win_key, padtype,
+                                  padlength)
+
+    def run(xj):
+        xj = xj.astype(dtype)
+        if use_conv:
+            Sx, dSx = stft_conv(xj, fs_val, n_fft, N, win_key, modulated,
+                                True, padtype, padlength, dtype)
+        else:
+            Sx, dSx = framed_runner(xj, np.asarray(fs_val, dtype))
+        Sfs_j = jnp.asarray(Sfs_np)
+        Sx_s = _apply_squeezing(Sx, squeezing)
+        Tx = ssqueeze_fast(Sx_s, dSx, None, const, logscale=False,
+                           flipud=flipud, gamma=gamma, Sfs=Sfs_j,
+                           params=params, natural_bins=natural)
+        return Tx, Sx, dSx
+    return jax.jit(run)
 
 
 def _make_Sfs(Sx, fs):
@@ -45,38 +101,52 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         raise ValueError("`ssq_freqs` must be linearly distributed "
                          "for `ssq_stft`")
 
-    Sx, dSx = stft(xnp, window, n_fft=n_fft, win_len=win_len,
-                   hop_len=hop_len, fs=fs_, padtype=padtype,
-                   modulated=modulated, derivative=True, dtype=dtype)
-
-    Sfs = _make_Sfs(Sx, fs_)
+    from ..configs import default_dtype
+    from .stft import _window_key
+    from .windows import get_window as _gw
+    N = xnp.shape[-1]
+    n_fft_ = int(n_fft or min(N // hop_len, 512))
+    if win_len is None:
+        win_len = (len(window) if isinstance(window, np.ndarray)
+                   else n_fft_)
+    dtype_ = dtype or default_dtype()
     if gamma is None:
-        gamma = 10 * (EPS64 if str(Sx.dtype) == 'float64' else EPS32)
+        gamma = 10 * (EPS64 if dtype_ == 'float64' else EPS32)
     gamma = float(gamma)
 
-    if get_w:
-        w = phase_stft(Sx, dSx, Sfs, gamma)
-        _dSx = None
-    else:
-        w = None
-        _dSx = dSx
-
+    # plan (host, memoized pieces): window, Sfs grid, bin params
+    win, dwin = _gw(window, win_len, n_fft_, derivative=True, dtype=dtype_)
+    _check_NOLA(win, hop_len, dtype_)
+    win_key = _window_key(win, dwin)
+    n_rows = n_fft_ // 2 + 1
+    Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
     if ssq_freqs is None:
         ssq_freqs = Sfs
     const = float(ssq_freqs[1] - ssq_freqs[0])
     params = ssq_bin_params(ssq_freqs, logscale=False)
     from .ssqueezing import _natural_bins
-    n_rows = Sx.shape[-2]
     natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
                             n_rows, 1. / fs_)
+    padlength = N + n_fft_ - 1
 
-    if w is None:
-        Tx = ssqueeze_fast(Sx, _dSx, ssq_freqs, const, logscale=False,
-                           flipud=flipud, gamma=gamma,
-                           Sfs=jnp.asarray(Sfs, str(Sx.dtype)),
-                           params=params, natural_bins=natural)
+    if not get_w:
+        # fused fast path: one cached jit for the whole forward
+        runner = _ssq_stft_fast_jit(
+            xnp.shape, dtype_, n_fft_, int(hop_len), bool(modulated),
+            win_key, padtype, padlength, float(fs_), bool(flipud),
+            squeezing if isinstance(squeezing, str) else None,
+            tuple(sorted(params.items())), gamma,
+            tuple(natural.tolist()) if natural is not None else None,
+            tuple(Sfs.tolist()), const)
+        Tx, Sx, dSx = runner(jnp.asarray(xnp, dtype=dtype_))
+        w = None
     else:
-        Tx = indexed_sum_onfly(Sx, w, ssq_freqs, const, logscale=False,
+        Sx, dSx = stft(xnp, window, n_fft=n_fft_, win_len=win_len,
+                       hop_len=hop_len, fs=fs_, padtype=padtype,
+                       modulated=modulated, derivative=True, dtype=dtype_)
+        w = phase_stft(Sx, dSx, Sfs, gamma)
+        Sx_s = _apply_squeezing(Sx, squeezing)
+        Tx = indexed_sum_onfly(Sx_s, w, ssq_freqs, const, logscale=False,
                                flipud=flipud, params=params,
                                natural_bins=natural)
 

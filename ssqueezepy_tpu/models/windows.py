@@ -14,6 +14,20 @@ from ..models.wavelets import _xifn
 
 __all__ = ['get_window', '_check_NOLA']
 
+# host-side memos: windows are plan-time constants, but get_window (DPSS
+# synthesis ~2ms) and scipy's check_NOLA (~2.5ms) sat on the per-CALL
+# path and dominated small-N transform latency (tunnel RTT is ~3.5ms)
+_WINDOW_MEMO = {}
+_NOLA_MEMO = set()
+
+
+def _win_spec_key(window):
+    if window is None:
+        return None
+    if isinstance(window, str):
+        return window
+    return ('arr', hash(window.tobytes()), window.shape)
+
 
 def _zero_denormals_np(x):
     tiny = 1000 * np.finfo(x.dtype).tiny
@@ -24,7 +38,19 @@ def _zero_denormals_np(x):
 def get_window(window, win_len, n_fft=None, derivative=False, dtype=None):
     """Window of length `n_fft` (padded from `win_len` if needed); default
     DPSS(win_len, max(4, win_len//8), periodic). `derivative=True` also
-    returns the frequency-domain-differentiated window."""
+    returns the frequency-domain-differentiated window. Memoized."""
+    key = (_win_spec_key(window), win_len, n_fft, derivative,
+           dtype or 'float32')
+    hit = _WINDOW_MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = _build_window(window, win_len, n_fft, derivative, dtype)
+    _WINDOW_MEMO[key] = out
+    return out
+
+
+def _build_window(window, win_len, n_fft=None, derivative=False,
+                  dtype=None):
     if n_fft is None:
         pl, pr = 0, 0
     else:
@@ -69,7 +95,18 @@ def get_window(window, win_len, n_fft=None, derivative=False, dtype=None):
 
 def _check_NOLA(window, hop_len, dtype=None, imprecision_strict=False):
     """Nonzero-overlap-add invertibility checks
-    (reference _stft.py:313-335)."""
+    (reference _stft.py:313-335). Memoized per (window, hop, dtype) —
+    warnings fire once per configuration."""
+    key = (hash(window.tobytes()), window.shape, hop_len, dtype,
+           imprecision_strict)
+    if key in _NOLA_MEMO:
+        return
+    _NOLA_MEMO.add(key)
+    _check_NOLA_impl(window, hop_len, dtype, imprecision_strict)
+
+
+def _check_NOLA_impl(window, hop_len, dtype=None,
+                     imprecision_strict=False):
     if hop_len > len(window):
         WARN("`hop_len > len(window)`; STFT not invertible")
     elif not sig.check_NOLA(window, len(window), len(window) - hop_len):
