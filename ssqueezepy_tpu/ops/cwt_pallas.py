@@ -76,6 +76,14 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
                tre_r, tim_r, w2re_r, w2im_r, *outs):
         # outs: (Wre, Wim[, dre, dim]) when deriv else (Wre, Wim)
+        #
+        # The whole pipeline runs in TRANSPOSED layout (frequency digit m2
+        # on sublanes): constants arrive pre-transposed from trace time,
+        # stage 1 is A^T = P^T @ W^T, stage 2 is E^T = w2^T @ At^T, and
+        # E^T lands directly in the output's (k2, k1) layout — no
+        # in-kernel transposes (8 per grid step in the row-major
+        # formulation; Mosaic lowers those through shuffles that rival the
+        # dot cost).
         i = pl.program_id(0)
         if na_mod is None:           # grid = (na,): 1D signal
             scale = scale_r[i, 0]
@@ -83,32 +91,30 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
         else:                        # grid = (B*na,): batched signal
             scale = scale_r[jax.lax.rem(i, na_mod), 0]
             xh_re, xh_im = xhre_r[0], xhim_r[0]
-        xi = xi_r[:]                                   # (rows0, f2)
+        xi = xi_r[:]                                   # (f2, rows0)
         # xh arrives pre-masked (pad zeros + Nyquist/2 folded in outside)
         psih = wavelet_fn(scale * xi, xp=jnp)
         if not l1_norm:
             psih = psih * jnp.sqrt(scale)
-        Pre = psih * xh_re
+        Pre = psih * xh_re                             # (f2, rows0)
         Pim = psih * xh_im
 
-        w2re, w2im = w2re_r[:], w2im_r[:]              # (f2, k2span)
+        w2re, w2im = w2re_r[:], w2im_r[:]              # (k2span, f2)
 
         def pipeline(Pre, Pim, out_re_r, out_im_r, dot):
             for h in range(nh):
                 sl = slice(h * hk1, (h + 1) * hk1)
-                # stage 1: A[k1, m2] = sum_m1 W[k1, m1] P[m1, m2]
-                wre, wim = wre_r[sl], wim_r[sl]        # (hk1, rows0)
-                Are = dot(wre, Pre) - dot(wim, Pim)
-                Aim = dot(wre, Pim) + dot(wim, Pre)
-                # twiddle W_n^{k1 m2}
-                tre, tim = tre_r[sl], tim_r[sl]        # (hk1, f2)
+                # stage 1: A^T[m2, k1] = sum_m1 P^T[m2, m1] W^T[m1, k1]
+                wre, wim = wre_r[:, sl], wim_r[:, sl]  # (rows0, hk1)
+                Are = dot(Pre, wre) - dot(Pim, wim)    # (f2, hk1)
+                Aim = dot(Pim, wre) + dot(Pre, wim)
+                # twiddle W_n^{k1 m2} (transposed constant)
+                tre, tim = tre_r[:, sl], tim_r[:, sl]  # (f2, hk1)
                 Atre = Are * tre - Aim * tim
                 Atim = Are * tim + Aim * tre
                 # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
-                Ere = dot(Atre, w2re) - dot(Atim, w2im)  # (hk1, k2span)
-                out_re_r[0, :, sl] = Ere.T
-                Eim = dot(Atre, w2im) + dot(Atim, w2re)
-                out_im_r[0, :, sl] = Eim.T
+                out_re_r[0, :, sl] = dot(w2re, Atre) - dot(w2im, Atim)
+                out_im_r[0, :, sl] = dot(w2re, Atim) + dot(w2im, Atre)
 
         pipeline(Pre, Pim, outs[0], outs[1], _dot)
         if deriv:
@@ -170,50 +176,62 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     B = xh_re.shape[0] if batched else 1
     dt_s = str(dtype)
 
-    # constants (trace-time numpy)
+    # constants (trace-time numpy) — all pre-TRANSPOSED: the kernel runs
+    # with the frequency digit m2 on sublanes so stage-2 results land in
+    # the output's (k2, k1) layout with no in-kernel transposes.
     from ..models.wavelets import _xifn
     xi_full = _xifn(1., n_up, np.float64)[:prefix]
     xi_blk = np.zeros((rows0, f2), np.float64)
     xi_blk.ravel()[:prefix] = xi_full
+    xi_blk = np.ascontiguousarray(xi_blk.T)            # (f2, rows0)
     nyq = np.zeros((rows0, f2), np.float64)
     nyq.ravel()[:prefix] = 1.0
     if n_up % 2 == 0:
         nyq.ravel()[prefix - 1] = 0.5
 
     wre, wim = _dft_matrix_np(f1, +1, 'float64')       # (f1, f1)
-    wre = (wre[:, :rows0] / n_up).astype(dt_s)         # fold 1/n into W
-    wim = (wim[:, :rows0] / n_up).astype(dt_s)
+    wre = np.ascontiguousarray((wre[:, :rows0] / n_up).T).astype(dt_s)
+    wim = np.ascontiguousarray((wim[:, :rows0] / n_up).T).astype(dt_s)
+    # ^ (rows0, f1), 1/n folded in
     tre, tim = _twiddle_np(n_up, f1, f2, +1, 'float64')  # (f1, f2)
-    tre, tim = tre.astype(dt_s), tim.astype(dt_s)
+    tre = np.ascontiguousarray(tre.T).astype(dt_s)     # (f2, f1)
+    tim = np.ascontiguousarray(tim.T).astype(dt_s)
     w2re, w2im = _dft_matrix_np(f2, +1, 'float64')     # (f2, f2)
-    w2re = np.ascontiguousarray(w2re[k2lo:k2hi].T).astype(dt_s)  # (f2, span)
-    w2im = np.ascontiguousarray(w2im[k2lo:k2hi].T).astype(dt_s)
+    w2re = np.ascontiguousarray(w2re[k2lo:k2hi]).astype(dt_s)  # (span, f2)
+    w2im = np.ascontiguousarray(w2im[k2lo:k2hi]).astype(dt_s)
 
     # signal spectrum block (zero-padded to rows0*f2) with the Nyquist
-    # halving + pad mask folded in (psih*nyq*xh == psih*(nyq*xh))
+    # halving + pad mask folded in (psih*nyq*xh == psih*(nyq*xh));
+    # transposed to the kernel's (f2, rows0) layout (tiny one-time XLA
+    # transpose outside the kernel)
     pad = rows0 * f2 - prefix
     nyq_j = jnp.asarray(nyq.reshape(-1), dt_s)
     padw = [(0, 0)] * (xh_re.ndim - 1) + [(0, pad)]
-    bshape = (B, rows0, f2) if batched else (rows0, f2)
-    xr = (jnp.pad(xh_re, padw) * nyq_j).reshape(bshape)
-    xi_ = (jnp.pad(xh_im, padw) * nyq_j).reshape(bshape)
+    if batched:
+        xr = (jnp.pad(xh_re, padw) * nyq_j).reshape(B, rows0, f2)
+        xi_ = (jnp.pad(xh_im, padw) * nyq_j).reshape(B, rows0, f2)
+        xr = jnp.transpose(xr, (0, 2, 1))
+        xi_ = jnp.transpose(xi_, (0, 2, 1))
+    else:
+        xr = (jnp.pad(xh_re, padw) * nyq_j).reshape(rows0, f2).T
+        xi_ = (jnp.pad(xh_im, padw) * nyq_j).reshape(rows0, f2).T
 
     out_w = k2span * f1
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     if batched:
-        xh_spec = pl.BlockSpec((1, rows0, f2), lambda i: (i // na, 0, 0),
+        xh_spec = pl.BlockSpec((1, f2, rows0), lambda i: (i // na, 0, 0),
                                memory_space=pltpu.VMEM)
     else:
-        xh_spec = const((rows0, f2))
+        xh_spec = const((f2, rows0))
     in_specs = [
         pl.BlockSpec((na, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        const((rows0, f2)), xh_spec, xh_spec,
-        const((f1, rows0)), const((f1, rows0)),
-        const((f1, f2)), const((f1, f2)),
-        const((f2, k2span)), const((f2, k2span)),
+        const((f2, rows0)), xh_spec, xh_spec,
+        const((rows0, f1)), const((rows0, f1)),
+        const((f2, f1)), const((f2, f1)),
+        const((k2span, f2)), const((k2span, f2)),
     ]
     n_out = 4 if deriv else 2
     out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),

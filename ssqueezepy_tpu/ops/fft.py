@@ -469,15 +469,18 @@ def _slice_axis(z, axis, out_range):
 
 
 def rfft(x, axis=-1, engine=None):
-    """Real-input FFT -> first n//2+1 bins (numpy `rfft` convention)."""
+    """Real-input FFT -> first n//2+1 bins (numpy `rfft` convention).
+
+    On the matmul engine this uses the exact pruning hooks: `imag_zero`
+    halves the first-stage matmuls and `out_range=(0, n//2+1)` halves the
+    final stage (only the covering last-digit range is computed).
+    """
     x = jnp.asarray(x)
     n = x.shape[axis]
     if _use_matmul(engine):
         z = Complex(x, jnp.zeros_like(x))
-        full = fft_matmul(z, axis)
-        sl = [slice(None)] * x.ndim
-        sl[axis] = slice(0, n // 2 + 1)
-        return full[tuple(sl)]
+        return fft_matmul(z, axis, out_range=(0, n // 2 + 1),
+                          imag_zero=True)
     return Complex.from_native(jnp.fft.rfft(x, axis=axis))
 
 

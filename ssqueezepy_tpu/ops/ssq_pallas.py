@@ -54,34 +54,59 @@ _BIG = 2 ** 20
 
 _GROUP = 32  # scatter row-group size (multiple of 8)
 
+_BAND = 24   # tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the
+             # shift passes; the rare tail (0.3-1% of noise cells) is
+             # extracted per column and placed by dense one-row sweeps
 
-def _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi):
-    """Shared scatter core: acc[row + d] += v, out = acc window of
-    `nbins_pad` rows. Valid displacements must satisfy
-    row + d in [0, nbins) — the caller masks everything else to _BIG.
+
+def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
+                        oaccr, oacci, outr, outi):
+    """Shared two-tier scatter core: out[row + d] += v with d = dm (the
+    caller masks invalid cells to _BIG and guarantees row + d in
+    [0, nbins) for the rest).
 
     TPU vector loads/stores need sublane offsets provably divisible by 8,
-    so the displacement is decomposed d = 8q + r: the 8 residues r are
-    static sublane rolls, and the inner dynamic `fori_loop` over q uses
-    8q offsets (provable). Two structural optimizations over the naive
-    whole-plane sweep (the d-range is set by rare noise-cell outliers, so
-    adapting tightly to the data matters):
+    so tier 1 decomposes d = 8q + r: the 8 residues r are static sublane
+    rolls, and the inner dynamic `fori_loop` over q uses 8q offsets
+    (provable). The displacement range a group must sweep used to be set
+    by rare noise-tail cells (measured on the white-noise benchmark:
+    84% of (group, tile) spans were >= 100 while P(|dev| > 24) = 0.35% —
+    a handful of outliers forced ~25 q-passes where ~4 carry the data),
+    so the work is split in two tiers:
 
-      * rows are processed in groups of `_GROUP`, each with its OWN
-        dynamic [dmin, dmax] — an outlier only forces extra passes for
-        its 32-row group, not the whole plane (~1.5x);
-      * the real and imaginary value planes ride side-by-side on the
-        lane axis (v2 is (na_pad, 2T)) so each q-pass is ONE
-        read-modify-write instead of two.
+      * tier 1 (shift passes): cells within `_BAND` of their row's
+        natural bin (`offs[row] = natural_bin - row`, a static per-row
+        column). Rows are processed in groups of `_GROUP`, each with its
+        OWN dynamic [dmin, dmax] within the band — clean-signal groups
+        still pay only their actual span. Real/imag planes ride
+        side-by-side on the lane axis (v2 is (na_pad, 2T)) so each
+        q-pass is ONE read-modify-write.
+      * tier 2 (outlier extraction): out-of-band cells are extracted one
+        per column per iteration (one-hot row select + sublane
+        reductions) and placed with a dense (nbins_pad, T) one-row
+        sweep; the loop runs max-outliers-per-column times (a dynamic
+        bound, typically <= 8 on noise, 0 on clean signals). Any
+        geometry stays exactly correct — pathological inputs only cost
+        more iterations.
 
     Wrapped roll rows land in an 8-row zero/BIG apron so they never
     contribute.
     """
-    dt = v2.dtype
+    dt = vre.dtype
     G = _GROUP
     ngroups = na_pad // G
     acc[:] = jnp.zeros(acc.shape, dt)
     base_off = G + 24
+
+    act = dm != _BIG
+    dev = dm - offs
+    inband = act & (jnp.abs(dev) <= _BAND)
+    dm_in = jnp.where(inband, dm, _BIG)
+    om = act & ~inband
+
+    validf = inband.astype(dt)
+    v2 = jnp.concatenate([vre * validf, vim * validf], axis=1)
+    dm2 = jnp.concatenate([dm_in, dm_in], axis=1)
 
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
@@ -114,8 +139,35 @@ def _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi):
 
         jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
 
-    outr[:] = acc[pl.ds(base_off, nbins_pad), :T]
-    outi[:] = acc[pl.ds(base_off, nbins_pad), T:]
+    # ---- tier 2: per-column outlier extraction ---------------------------
+    oaccr[:] = jnp.zeros((nbins_pad, T), dt)
+    oacci[:] = jnp.zeros((nbins_pad, T), dt)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
+    babs = dm + rows                       # absolute target bin
+    biota = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, T), 0)
+    max_cnt = jnp.max(jnp.sum(om.astype(jnp.int32), axis=0))
+
+    def obody(it, om_i):
+        alive = om_i != 0
+        ridx = jnp.min(jnp.where(alive, rows, _BIG), axis=0,
+                       keepdims=True)                        # (1, T)
+        sel = (rows == ridx) & alive
+        self_ = sel.astype(dt)
+        b = jnp.sum(jnp.where(sel, babs, 0), axis=0, keepdims=True)
+        vr = jnp.sum(vre * self_, axis=0, keepdims=True)
+        vi = jnp.sum(vim * self_, axis=0, keepdims=True)
+        has = ridx < _BIG                                    # (1, T)
+        m = ((biota == b) & has).astype(dt)                  # (nbins, T)
+        oaccr[:] = oaccr[:] + m * vr
+        oacci[:] = oacci[:] + m * vi
+        return om_i * (1 - sel.astype(jnp.int32))
+
+    om_i = jax.lax.fori_loop(0, max_cnt, obody, om.astype(jnp.int32),
+                             unroll=False)
+    del om_i
+
+    outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]
+    outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
 
 
 def _acc_shape(na_pad, nbins_pad, T):
@@ -163,9 +215,11 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
 
     def kernel(*refs):
         if has_sfs:
-            (wxr, wxi, dwxr, dwxi, const_r, sfs_r, outr, outi, acc) = refs
+            (wxr, wxi, dwxr, dwxi, const_r, offs_r, sfs_r, outr, outi,
+             acc, oaccr, oacci) = refs
         else:
-            (wxr, wxi, dwxr, dwxi, const_r, outr, outi, acc) = refs
+            (wxr, wxi, dwxr, dwxi, const_r, offs_r, outr, outi,
+             acc, oaccr, oacci) = refs
 
         C, D = wxr[:], wxi[:]
         A, B = dwxr[:], dwxi[:]
@@ -226,9 +280,8 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
         d = k - rows
         dm = jnp.where(valid & ~edge, d, _BIG)
 
-        v2 = jnp.concatenate([vre, vim], axis=1)        # (na_pad, 2T)
-        dm2 = jnp.concatenate([dm, dm], axis=1)
-        _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi)
+        _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
+                            acc, oaccr, oacci, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -237,10 +290,22 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
     return kernel
 
 
+def _offs_column(nat_key, perm, na, na_pad):
+    """Static per-row tier-1 band center: natural_bin(row) - row after the
+    pre-permutation (zeros when no natural-bin info is available)."""
+    offs = np.zeros((na_pad, 1), np.int32)
+    if nat_key is not None:
+        nb = _apply_perm(np.asarray(nat_key, np.int32), perm)
+        offs[:na, 0] = nb - np.arange(na, dtype=np.int32)
+    return offs
+
+
 @functools.partial(jax.jit, static_argnames=(
-    'param_items', 'gamma', 'flipud', 'perm', 'has_sfs', 'interpret', 'T'))
+    'param_items', 'gamma', 'flipud', 'perm', 'nat_key', 'has_sfs',
+    'interpret', 'T'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
-                    gamma, flipud, perm, has_sfs, interpret, T=1024):
+                    gamma, flipud, perm, nat_key, has_sfs, interpret,
+                    T=1024):
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
@@ -259,16 +324,16 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
     # zero-padding makes |Wx|=0 <= gamma -> padded entries invalid
     args = [prep(Wxr), prep(Wxi), prep(dWxr), prep(dWxi),
-            prep_col(const_col)]
+            prep_col(const_col),
+            jnp.asarray(_offs_column(nat_key, perm, na, na_pad))]
+    col_spec = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((na_pad, T), lambda i: (0, i),
-                     memory_space=pltpu.VMEM)] * 4 + [
-        pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM)]
+                     memory_space=pltpu.VMEM)] * 4 + [col_spec, col_spec]
     if has_sfs:
         args.append(prep_col(Sfs_col.astype(dt)))
-        in_specs.append(pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(col_spec)
 
     kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
                                 flipud, params['mode'], has_sfs)
@@ -282,7 +347,9 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt)],
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -291,8 +358,8 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
 
 @functools.lru_cache(maxsize=64)
-def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, has_sfs, interpret,
-                      T):
+def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
+                      interpret, T):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     formulation of the identical math (the gradient of the reassignment
     w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
@@ -313,8 +380,8 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, has_sfs, interpret,
     @jax.custom_vjp
     def f(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
         return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
-                               param_items, gamma, flipud, perm, has_sfs,
-                               interpret, T=T)
+                               param_items, gamma, flipud, perm, nat_key,
+                               has_sfs, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -336,6 +403,9 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
     see `_ssq_fused_vjp_fn`)."""
     na = Wx.shape[-2]
     perm = _plan_perm(natural_bins, na)
+    nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
+               if natural_bins is not None and len(natural_bins) == na
+               else None)
 
     dt = Wx.dtype
     c = jnp.asarray(const, dt).reshape(-1)
@@ -345,7 +415,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 
     call2d = _ssq_fused_vjp_fn(
         tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
-        Sfs is not None, bool(interpret), int(T))
+        nat_key, Sfs is not None, bool(interpret), int(T))
 
     def call(wr, wi, dr, di):
         return call2d(wr, wi, dr, di, const_col, Sfs_col)
@@ -362,7 +432,8 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # the sharded (per-shard rows -> full bin space) reassignment
 # --------------------------------------------------------------------------
 def _make_scatter_kernel(na_pad, nbins_pad, T):
-    def kernel(vre_r, vim_r, k_r, valid_r, outr, outi, acc):
+    def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
+               oaccr, oacci):
         dt = vre_r.dtype
         k = k_r[:]
         valid = valid_r[:] != 0
@@ -373,15 +444,15 @@ def _make_scatter_kernel(na_pad, nbins_pad, T):
         validf = valid.astype(dt)
         vre = vre_r[:] * validf
         vim = vim_r[:] * validf
-        v2 = jnp.concatenate([vre, vim], axis=1)
-        dm2 = jnp.concatenate([dm, dm], axis=1)
-        _shift_scatter_core(v2, dm2, na_pad, nbins_pad, T, acc, outr, outi)
+        _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
+                            acc, oaccr, oacci, outr, outi)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'interpret',
-                                             'T'))
-def _scatter_call(vre, vim, k, valid, nbins, perm, interpret, T=512):
+@functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
+                                             'interpret', 'T'))
+def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
+                  T=512):
     na, N = vre.shape
     na_pad = _round_up(max(na, _GROUP), _GROUP)
     nbins_pad = _round_up(max(nbins, 8), 8)
@@ -399,6 +470,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, interpret, T=512):
     k = jnp.where(k < 0, k + nbins, k)
     k_ = prep(k)
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
+    offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
 
     kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
@@ -408,20 +480,24 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, interpret, T=512):
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
-        in_specs=[bs, bs, bs, bs],
+        in_specs=[bs, bs, bs, bs,
+                  pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=(os, os),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt)],
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(vre_, vim_, k_, valid_)
+    )(vre_, vim_, k_, valid_, offs)
     return out_re[:nbins, :N], out_im[:nbins, :N]
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_vjp_fn(nbins, perm, interpret, T):
+def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T):
     """custom_vjp: Pallas scatter forward; backward is the adjoint gather
     (via jax.vjp of the XLA scatter — bin indices are integer inputs and
     carry no tangent)."""
@@ -432,8 +508,8 @@ def _scatter_vjp_fn(nbins, perm, interpret, T):
 
     @jax.custom_vjp
     def f(vre, vim, k, valid):
-        return _scatter_call(vre, vim, k, valid, nbins, perm, interpret,
-                             T=T)
+        return _scatter_call(vre, vim, k, valid, nbins, perm, nat_key,
+                             interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -454,6 +530,9 @@ def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
     Differentiable in (vre, vim) (custom VJP: adjoint gather)."""
     na = vre.shape[-2]
     perm = _plan_perm(natural_bins, na)
-    f = _scatter_vjp_fn(int(nbins), perm, bool(interpret), int(T))
+    nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
+               if natural_bins is not None and len(natural_bins) == na
+               else None)
+    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T))
     outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)
