@@ -87,7 +87,7 @@ def _process_gmw_wavelet(wavelet, l1_norm):
 # traceable core (used by cwt and fused into ssq_cwt's single jit)
 # --------------------------------------------------------------------------
 def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
-             rpadded=False, is_2d=False, deriv_lowprec=False):
+             rpadded=False, is_2d=False, deriv_lowprec=False, klims=None):
     """Vectorized FFT-convolution CWT over padded input.
 
     xp_pad: real (..., n_up) jnp array (padded signal)
@@ -130,7 +130,8 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
                     return cwt_fused_pallas(xh, scales_j, wavelet, n_up,
                                             n1, N, dt, derivative, l1_norm,
                                             interpret=interp,
-                                            deriv_lowprec=deriv_lowprec)
+                                            deriv_lowprec=deriv_lowprec,
+                                            klims=klims)
     if is_2d:
         xh = Complex(xh.re[:, None], xh.im[:, None])
 
@@ -179,7 +180,7 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
 
 @functools.lru_cache(maxsize=64)
 def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
-             rpadded, is_2d, wavelet_ref, padtype='reflect'):
+             rpadded, is_2d, wavelet_ref, padtype='reflect', klims=None):
     """Cached jitted forward CWT (raw signal in; scrub + pad inside the
     jit — eager device ops cost a dispatch round trip each on the
     tunneled backend); `wavelet_ref` is a weak holder tuple."""
@@ -190,7 +191,7 @@ def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
         xj = jnp.where(jnp.isfinite(xj), xj, 0)
         xp_pad = padsignal(xj, padtype) if padtype is not None else xj
         return cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm,
-                        n1, N, rpadded, is_2d)
+                        n1, N, rpadded, is_2d, klims=klims)
     return jax.jit(run)
 
 
@@ -262,9 +263,11 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
 
     xj = jnp.asarray(xnp, dtype=dtype)
 
+    from ..ops.cwt_pallas import support_klims
+    klims = support_klims(wavelet, scales_np, n_up)
     runner = _cwt_jit(_wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N,
                       bool(derivative), bool(l1_norm), bool(rpadded), is_2d,
-                      (wavelet,), padtype)
+                      (wavelet,), padtype, klims)
     if isinstance(scales, str):
         skey = (scales, N, _wavelet_key(wavelet), nv, dtype)
     elif isinstance(scales, np.ndarray):

@@ -25,6 +25,7 @@ from ..utils.common import EPS32, EPS64, p2up
 from ..utils.cwt_utils import (process_scales, adm_ssq, _process_fs_and_t)
 from .wavelets import Wavelet
 from .cwt import cwt, cwt_core, _process_gmw_wavelet, _wavelet_key
+from ..ops.cwt_pallas import support_klims
 from .ssqueezing import (ssqueeze, _check_ssqueezing_args,
                          _compute_associated_frequencies, _natural_bins)
 
@@ -35,7 +36,7 @@ __all__ = ['ssq_cwt', 'issq_cwt']
 def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                  flipud, squeezing, param_items, gamma, Sfs_none,
                  natural_key, wavelet_ref, const_key, padtype='reflect',
-                 deriv_lowprec=False):
+                 deriv_lowprec=False, klims=None):
     """Cached fused jit: RAW signal -> (Tx, Wx, dWx). NaN scrub and
     padding run inside the jit (eager device ops cost a full dispatch
     round trip each on the tunneled backend)."""
@@ -50,7 +51,7 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         xp_pad = padsignal(xj, padtype) if padtype is not None else xj
         Wx, dWx = cwt_core(xp_pad, wavelet, scales_j, dt, True, l1_norm,
                            n1, N, rpadded=False, is_2d=is_2d,
-                           deriv_lowprec=deriv_lowprec)
+                           deriv_lowprec=deriv_lowprec, klims=klims)
         Wx_s = _apply_squeezing(Wx, squeezing)
         Tx = ssqueeze_fast(Wx_s, dWx, None, const,
                            logscale=params['mode'] != 'lin',
@@ -256,7 +257,9 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         # dWx feeds only the reassignment bin index unless the caller
         # asked for it back: run its IFFT pipeline in single-pass bf16
         # (see ops/cwt_pallas._dot_lo; +-1-bin criterion)
-        deriv_lowprec=not get_dWx)
+        deriv_lowprec=not get_dWx,
+        # per-scale stage-1 support pruning (exact at f32)
+        klims=support_klims(wavelet, scales_np, n_up))
     scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
                                             dtype)
     Tx, Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype), const_j)

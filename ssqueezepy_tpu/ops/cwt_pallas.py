@@ -84,6 +84,13 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
         # in-kernel transposes (8 per grid step in the row-major
         # formulation; Mosaic lowers those through shuffles that rival the
         # dot cost).
+        #
+        # `rows0` here is the (possibly support-pruned) stage-1
+        # contraction size: the caller slices the constants and spectrum
+        # to each scale bucket's frequency support at trace time and
+        # launches one pallas_call per contiguous bucket range (in-kernel
+        # `pl.when` bucket branches measured 20% SLOWER end-to-end than
+        # no pruning at all — predication defeats Mosaic's pipelining).
         i = pl.program_id(0)
         if na_mod is None:           # grid = (na,): 1D signal
             scale = scale_r[i, 0]
@@ -126,6 +133,90 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
     return kernel
 
 
+_KLIM_MEMO = {}
+
+
+def support_klims(wavelet, scales_np, n_up):
+    """Per-scale count of leading m1-rows (f2-wide blocks of the half
+    spectrum) the fused kernel must contract over: rows beyond the
+    wavelet's frequency support are pruned from the stage-1 dots.
+
+    The threshold is the smallest float32 subnormal — bins below it are
+    EXACTLY zero in the f32 kernel, so pruning them changes nothing the
+    f32 arithmetic could see. Samples row boundaries and midpoints
+    (unimodal-decay wavelets: the last above-threshold row lies in the
+    monotone tail, where half-row sampling bounds the row max); row 0 is
+    always kept (large scales concentrate the whole passband there) and
+    one extra row is added as margin. Returns a tuple of ints, or None
+    when the wavelet is not a plain real-valued `fn` (higher-order /
+    complex wavelets take the unpruned path).
+    """
+    from .fft import _factorize
+    from ..models.wavelets import _xifn
+    try:
+        key = (id(wavelet.fn), hash(np.asarray(scales_np).tobytes()),
+               int(n_up))
+    except Exception:
+        key = None
+    if key is not None and key in _KLIM_MEMO:
+        return _KLIM_MEMO[key]
+
+    factors = _factorize(n_up)
+    if len(factors) != 2:
+        return None
+    f2 = factors[1]
+    prefix = n_up // 2 + 1
+    rows0 = -(-prefix // f2)
+    xi = _xifn(1., n_up, np.float64)[:prefix]
+    samp = np.minimum(np.arange(2 * rows0 + 1) * (f2 // 2), prefix - 1)
+    w = np.asarray(scales_np, np.float64).reshape(-1, 1) * xi[samp]
+    try:
+        psis = wavelet.fn(w, xp=np)
+    except Exception:
+        return None
+    if isinstance(psis, tuple):
+        return None
+    psis = np.abs(np.asarray(psis, np.float64))
+    need = psis > 1.4e-45
+    # last sample index above threshold -> row index, +1 margin row
+    any_ = need.any(axis=1)
+    last = need.shape[1] - 1 - need[:, ::-1].argmax(axis=1)
+    klim = np.where(any_, last // 2 + 2, 1)
+    klim = np.minimum(np.maximum(klim, 1), rows0).astype(int)
+    out = tuple(int(v) for v in klim)
+    if key is not None:
+        _KLIM_MEMO[key] = out
+    return out
+
+
+def _plan_ranges(klims, na, rows0):
+    """Contiguous scale-row ranges [(r0, r1, kb), ...] with one static
+    stage-1 contraction size `kb` per range.
+
+    Buckets are K-TILE aligned (multiples of 128): the MXU quantizes the
+    contraction dim to 128-lane tiles, so a K of 31 costs what K=128
+    does — the useful splits are the tile counts ceil(K/128). Each range
+    becomes its own pallas_call with constants sliced at trace time
+    (in-kernel `pl.when` bucket branches measured 20% slower end-to-end
+    than no pruning — predication defeats Mosaic's pipelining). Requires
+    klims monotone non-increasing (scales sorted ascending — the library
+    default); otherwise a single unpruned range is returned.
+    """
+    if klims is None or len(klims) != na:
+        return [(0, na, rows0)]
+    snap = [min(128 * (-(-max(int(kl), 1) // 128)), rows0)
+            for kl in klims]
+    if any(snap[i] < snap[i + 1] for i in range(na - 1)):
+        return [(0, na, rows0)]
+    ranges = []
+    r0 = 0
+    for r in range(1, na + 1):
+        if r == na or snap[r] != snap[r0]:
+            ranges.append((r0, r, snap[r0]))
+            r0 = r
+    return ranges
+
+
 def cwt_pallas_applicable(wavelet, n_up, is_2d):
     """True when the fused kernel handles this configuration."""
     from ..models.cwt import _is_analytic
@@ -144,22 +235,22 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
 @functools.partial(
     jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
                               'l1_norm', 'dtype', 'interpret',
-                              'deriv_lowprec'))
+                              'deriv_lowprec', 'klims'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                     deriv, l1_norm, dtype, interpret=False,
-                    deriv_lowprec=False):
+                    deriv_lowprec=False, klims=None):
     # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
     # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
     # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
     # per-m3-sliced hybrids measured net-neutral. Balanced 2-stage it is.
     return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                             n_up, n1, N, deriv, l1_norm, dtype, interpret,
-                            deriv_lowprec)
+                            deriv_lowprec, klims)
 
 
 def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                      deriv, l1_norm, dtype, interpret=False,
-                     deriv_lowprec=False):
+                     deriv_lowprec=False, klims=None):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
@@ -220,50 +311,74 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    if batched:
-        xh_spec = pl.BlockSpec((1, f2, rows0), lambda i: (i // na, 0, 0),
-                               memory_space=pltpu.VMEM)
-    else:
-        xh_spec = const((f2, rows0))
-    in_specs = [
-        pl.BlockSpec((na, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        const((f2, rows0)), xh_spec, xh_spec,
-        const((rows0, f1)), const((rows0, f1)),
-        const((f2, f1)), const((f2, f1)),
-        const((k2span, f2)), const((k2span, f2)),
-    ]
     n_out = 4 if deriv else 2
     out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-
-    kernel = _make_kernel(wavelet.fn, rows0, f1, f2, k2span, deriv,
-                          l1_norm, jnp.dtype(dt_s),
-                          na_mod=(na if batched else None),
-                          deriv_lowprec=deriv_lowprec)
-    args = [scales.reshape(na, 1).astype(dt_s),
-            jnp.asarray(inv_dt, dt_s).reshape(1, 1),
-            jnp.asarray(xi_blk, dt_s), xr.astype(dt_s), xi_.astype(dt_s),
-            jnp.asarray(wre), jnp.asarray(wim),
-            jnp.asarray(tre), jnp.asarray(tim),
-            jnp.asarray(w2re), jnp.asarray(w2im)]
-
-    outs = pl.pallas_call(
-        kernel,
-        grid=(B * na,),
-        in_specs=in_specs,
-        out_specs=(out_spec,) * n_out,
-        out_shape=(jax.ShapeDtypeStruct((B * na, k2span, f1),
-                                        dt_s),) * n_out,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(*args)
     off = n1 - k2lo * f1
-    if batched:
-        return tuple(o.reshape(B, na, out_w)[..., off:off + N]
-                     for o in outs)
-    return tuple(o.reshape(na, out_w)[:, off:off + N] for o in outs)
+    scales_col = scales.reshape(na, 1).astype(dt_s)
+    invdt_a = jnp.asarray(inv_dt, dt_s).reshape(1, 1)
+
+    # stage-1 support pruning: one pallas_call per contiguous scale range
+    # whose wavelet support needs the same number of 128-lane K-tiles;
+    # the constants and spectrum block are sliced to `kb` at trace time,
+    # so each kernel is the plain unpruned kernel at a smaller K (exact:
+    # the sliced-away spectrum rows multiply f32-underflowed psih — see
+    # `support_klims`).
+    pieces = []
+    for (r0, r1, kb) in _plan_ranges(klims, na, rows0):
+        nb = r1 - r0
+        if batched:
+            xh_spec = pl.BlockSpec((1, f2, kb),
+                                   lambda i, nb=nb: (i // nb, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            xrb, xib = xr[:, :, :kb], xi_[:, :, :kb]
+        else:
+            xh_spec = const((f2, kb))
+            xrb, xib = xr[:, :kb], xi_[:, :kb]
+        in_specs = [
+            pl.BlockSpec((nb, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            const((f2, kb)), xh_spec, xh_spec,
+            const((kb, f1)), const((kb, f1)),
+            const((f2, f1)), const((f2, f1)),
+            const((k2span, f2)), const((k2span, f2)),
+        ]
+        kernel = _make_kernel(wavelet.fn, kb, f1, f2, k2span, deriv,
+                              l1_norm, jnp.dtype(dt_s),
+                              na_mod=(nb if batched else None),
+                              deriv_lowprec=deriv_lowprec)
+        args = [scales_col[r0:r1], invdt_a,
+                jnp.asarray(np.ascontiguousarray(xi_blk[:, :kb]), dt_s),
+                xrb.astype(dt_s), xib.astype(dt_s),
+                jnp.asarray(np.ascontiguousarray(wre[:kb])),
+                jnp.asarray(np.ascontiguousarray(wim[:kb])),
+                jnp.asarray(tre), jnp.asarray(tim),
+                jnp.asarray(w2re), jnp.asarray(w2im)]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(B * nb,),
+            in_specs=in_specs,
+            out_specs=(out_spec,) * n_out,
+            out_shape=(jax.ShapeDtypeStruct((B * nb, k2span, f1),
+                                            dt_s),) * n_out,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(*args)
+        if batched:
+            pieces.append(tuple(o.reshape(B, nb, out_w)[..., off:off + N]
+                                for o in outs))
+        else:
+            pieces.append(tuple(o.reshape(nb, out_w)[:, off:off + N]
+                                for o in outs))
+
+    if len(pieces) == 1:
+        return pieces[0]
+    axis = 1 if batched else 0
+    return tuple(jnp.concatenate([p[j] for p in pieces], axis=axis)
+                 for j in range(n_out))
 
 
 def _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up, n1, N,
@@ -302,7 +417,7 @@ def _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up, n1, N,
 
 @functools.lru_cache(maxsize=32)
 def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
-                      interpret, deriv_lowprec=False):
+                      interpret, deriv_lowprec=False, klims=None):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     half-spectrum formulation (exact adjoint of the linear transform,
     incl. gradients w.r.t. `scales` through the wavelet synthesis)."""
@@ -316,7 +431,7 @@ def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
     def f(xh_re, xh_im, scales, inv_dt):
         return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                                n_up, n1, N, deriv, l1_norm, dtype,
-                               interpret, deriv_lowprec)
+                               interpret, deriv_lowprec, klims)
 
     def f_fwd(*args):
         return f(*args), args
@@ -330,7 +445,8 @@ def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
 
 
 def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
-                     l1_norm, interpret=False, deriv_lowprec=False):
+                     l1_norm, interpret=False, deriv_lowprec=False,
+                     klims=None):
     """Fused CWT rows from the HALF spectrum `xh` (Complex, length
     n_up//2+1). Returns (Wx, dWx or None), unpadded natural order.
     Both pipelines (Wx and its spectral derivative) run in ONE kernel,
@@ -341,7 +457,8 @@ def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,
     inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
     f = _cwt_fused_vjp_fn((wavelet,), int(n_up), int(n1), int(N),
                           bool(derivative), bool(l1_norm), dtype,
-                          bool(interpret), bool(deriv_lowprec))
+                          bool(interpret), bool(deriv_lowprec),
+                          klims if klims is None else tuple(klims))
     outs = f(xh.re, xh.im, scales, inv_dt)
     Wx = Complex(outs[0], outs[1])
     dWx = Complex(outs[2], outs[3]) if derivative else None
