@@ -88,10 +88,35 @@ def main():
              ('stft', 10000), ('ssq_stft', 10000)]
     sweep = {}
     headline = None
+    # HARD per-cell guard: a fresh remote compile costs 2-5 min, so a
+    # cell started inside the budget can still blow past the driver's
+    # process timeout and lose the whole JSON line. SIGALRM aborts the
+    # straggler (the in-flight device work drains on its own; only the
+    # blocking host fetch is interrupted) and we print what completed.
+    # The headline cell gets the full window.
+    import signal
+
+    class _CellTimeout(Exception):
+        pass
+
+    def _alarm(signum, frame):
+        raise _CellTimeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    deadline = t_start + budget
     for name, N in order:
-        if headline is not None and time.time() - t_start > budget:
+        remaining = deadline - time.time()
+        if headline is not None and remaining < 30:
             break
-        sec = timecell(cell(name, N))
+        signal.alarm(max(int(remaining), 60))
+        try:
+            sec = timecell(cell(name, N))
+        except _CellTimeout:
+            break
+        except Exception:  # tunnel/compile failure — keep what we have
+            break
+        finally:
+            signal.alarm(0)
         ratio = round(REF_GPU[(name, N)] / sec, 3)
         sweep[f'{name}_{N // 1000}k'] = {
             'sec': round(sec, 5), 'transforms_per_sec': round(1 / sec, 2),
@@ -99,6 +124,13 @@ def main():
         if headline is None:
             headline = sec
 
+    if headline is None:  # headline compile outran the budget or errored
+        print(json.dumps({
+            "metric": "ssq_cwt_160k_300rows_transforms_per_sec",
+            "value": 0.0, "unit": "transforms/sec/chip",
+            "vs_baseline": 0.0, "sweep": sweep,
+            "error": "headline cell timed out or failed within budget"}))
+        return
     tps = 1.0 / headline
     print(json.dumps({
         "metric": "ssq_cwt_160k_300rows_transforms_per_sec",

@@ -22,6 +22,28 @@ extraction, test signals, and visualization — built TPU-first:
 __version__ = '0.1.0'
 __title__ = 'ssqueezepy_tpu'
 
+# Persistent XLA compilation cache: the Pallas/Mosaic kernels cost
+# minutes to compile through a remote-compile backend; caching the
+# serialized executables makes every later process (benchmarks, user
+# sessions) start in seconds. Best-effort — harmless if the platform
+# doesn't support executable serialization.
+def _enable_compile_cache():
+    import os
+    try:
+        import jax
+        d = os.environ.get('JAX_COMPILATION_CACHE_DIR') or \
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'ssqueezepy_tpu', 'xla')
+        os.makedirs(d, exist_ok=True)
+        jax.config.update('jax_compilation_cache_dir', d)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 2)
+        jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()
+
 from .configs import configure, get_config, backend
 from .ops.complexlib import Complex, as_complex
 from .ops.fft import (fft, ifft, rfft, irfft, fftshift, ifftshift,

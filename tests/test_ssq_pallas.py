@@ -463,3 +463,74 @@ def test_fallback_note_fires(caplog):
         assert any('other-geometry' in m for m in msgs)
     finally:
         ssq_kernels._PALLAS_FALLBACK_NOTED.clear()
+
+
+# ---------------------------------------------------------------------------
+# two-tier structure: band classification and the outlier-extraction loop
+# ---------------------------------------------------------------------------
+def test_scatter_all_cells_outlier():
+    """No natural-bin info + every target far from its row: every valid
+    cell routes through the tier-2 extraction loop (max outliers per
+    column == the full column height)."""
+    from ssqueezepy_tpu.ops.ssq_pallas import _BAND
+    na, N = 48, 96
+    rng = np.random.default_rng(21)
+    vre, vim = _rand_cplx(rng, (na, N), 'float32')
+    rows = np.arange(na).reshape(-1, 1)
+    # every displacement strictly beyond the band
+    k = (rows + _BAND + 1 + rng.integers(0, na, (na, N))) % na
+    k = np.where(np.abs(k - rows) <= _BAND,
+                 (rows + _BAND + 2) % na, k).astype(np.int32)
+    valid = np.ones((na, N), bool)
+    out = shift_scatter_pallas(jnp.asarray(vre), jnp.asarray(vim),
+                               jnp.asarray(k), jnp.asarray(valid), na,
+                               natural_bins=None, interpret=True, T=96)
+    ref = _scatter_xla(jnp.asarray(vre), jnp.asarray(vim), jnp.asarray(k),
+                       jnp.asarray(valid), na)
+    assert np.allclose(np.asarray(out.re), np.asarray(ref.re),
+                       **_tol('float32'))
+    assert np.allclose(np.asarray(out.im), np.asarray(ref.im),
+                       **_tol('float32'))
+
+
+def test_scatter_band_boundary():
+    """Displacements exactly at +-_BAND (tier 1) and +-(_BAND+1)
+    (tier 2): classification off-by-one would double- or zero-count."""
+    from ssqueezepy_tpu.ops.ssq_pallas import _BAND
+    na, N = 64, 64
+    vre = np.ones((na, N), np.float32)
+    vim = 2 * np.ones((na, N), np.float32)
+    rows = np.arange(na).reshape(-1, 1)
+    devs = np.tile(np.asarray([_BAND, -_BAND, _BAND + 1, -(_BAND + 1)]),
+                   (na, N // 4 + 1))[:, :N]
+    k = np.clip(rows + devs, 0, na - 1).astype(np.int32)
+    valid = np.ones((na, N), bool)
+    out = shift_scatter_pallas(jnp.asarray(vre), jnp.asarray(vim),
+                               jnp.asarray(k), jnp.asarray(valid), na,
+                               natural_bins=np.arange(na, dtype=np.int32),
+                               interpret=True, T=64)
+    ref = _scatter_xla(jnp.asarray(vre), jnp.asarray(vim), jnp.asarray(k),
+                       jnp.asarray(valid), na)
+    assert np.allclose(np.asarray(out.re), np.asarray(ref.re),
+                       **_tol('float32'))
+    assert np.allclose(np.asarray(out.im), np.asarray(ref.im),
+                       **_tol('float32'))
+
+
+def test_scatter_shard_uniform_offset_no_natural():
+    """Sharded-geometry stress WITHOUT natural-bin info: a per-shard row
+    block scattering into a much larger bin space with a big uniform
+    offset — all cells are tier-2 outliers relative to offs=0."""
+    na, nbins, N = 24, 160, 80
+    rng = np.random.default_rng(5)
+    vre, vim = _rand_cplx(rng, (na, N), 'float32')
+    k = (100 + np.arange(na).reshape(-1, 1)
+         + rng.integers(-6, 7, (na, N))).astype(np.int32)
+    valid = np.ones((na, N), bool)
+    out = shift_scatter_pallas(jnp.asarray(vre), jnp.asarray(vim),
+                               jnp.asarray(k), jnp.asarray(valid), nbins,
+                               natural_bins=None, interpret=True, T=80)
+    ref = _scatter_xla(jnp.asarray(vre), jnp.asarray(vim), jnp.asarray(k),
+                       jnp.asarray(valid), nbins)
+    assert np.allclose(np.asarray(out.re), np.asarray(ref.re),
+                       **_tol('float32'))
