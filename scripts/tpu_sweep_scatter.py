@@ -40,7 +40,11 @@ def run_once():
 for v in variants:
     band, group, T = (int(s) for s in v.split(','))
     sp._BAND, sp._GROUP = band, group
+    # module constants are baked in at TRACE time: the lru wrappers AND
+    # the underlying jax.jit caches must both be dropped or the old
+    # executable is silently reused
     sp._ssq_fused_vjp_fn.cache_clear()
+    sp._ssq_fused_call.clear_cache()
     mod_ssq._ssq_cwt_jit.cache_clear()
     t_c0 = time.time()
     for _ in range(3):

@@ -64,6 +64,32 @@ def _canonical_wavelet(wavelet):
     return canon
 
 
+_SPEC_WAVELET_CACHE = {}
+
+
+def resolve_wavelet(wavelet, l1_norm=True, N=None):
+    """Spec -> canonical Wavelet with full memoization: repeat calls with
+    the same spec (string or (name, opts) tuple) skip construction
+    entirely (~0.4 ms/call of gmw re-init + config merging, which
+    dominates small-N host latency)."""
+    if isinstance(wavelet, Wavelet):
+        return _canonical_wavelet(wavelet)
+    try:
+        key = (repr(wavelet), bool(l1_norm), N)
+    except Exception:
+        key = None
+    if key is not None:
+        hit = _SPEC_WAVELET_CACHE.get(key)
+        if hit is not None:
+            return hit
+    w = _process_gmw_wavelet(wavelet, l1_norm)
+    kw = {} if N is None else {'N': N}
+    w = _canonical_wavelet(Wavelet._init_if_not_isinstance(w, **kw))
+    if key is not None:
+        _SPEC_WAVELET_CACHE[key] = w
+    return w
+
+
 def _process_gmw_wavelet(wavelet, l1_norm):
     """Keep GMW norm consistent with `l1_norm` (reference _cwt.py:497-514).
     """
@@ -198,6 +224,22 @@ def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
 _SCALES_DEV_CACHE = {}
 
 
+_SCALAR_DEV_CACHE = {}
+
+
+def _device_scalar(val, dtype):
+    """Device-resident scalar, memoized: passing a fresh numpy scalar to
+    a jit uploads it through the device tunnel EVERY call (~1-2 ms of
+    pure RTT at small N)."""
+    key = (float(val), dtype)
+    hit = _SCALAR_DEV_CACHE.get(key)
+    if hit is None:
+        import jax.numpy as _jnp
+        hit = _jnp.asarray(np.asarray(val, dtype))
+        _SCALAR_DEV_CACHE[key] = hit
+    return hit
+
+
 _SCALES_CACHE = {}
 
 
@@ -249,8 +291,7 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
     N = xnp.shape[-1]
     dt, fs_, _ = _process_fs_and_t(fs, t, N)
 
-    wavelet = _process_gmw_wavelet(wavelet, l1_norm)
-    wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet))
+    wavelet = resolve_wavelet(wavelet, l1_norm)
     from ..configs import device_dtype
     dtype = device_dtype(wavelet.dtype)
 
@@ -282,7 +323,7 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
         scales_j = jnp.asarray(scales_np, dtype=dtype)
         if skey is not None:
             _SCALES_DEV_CACHE[skey] = scales_j
-    Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype))
+    Wx, dWx = runner(xj, scales_j, _device_scalar(dt, dtype))
 
     scales_out = scales_np.squeeze()
     if not astensor:

@@ -207,10 +207,8 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     dt, fs_, _ = _process_fs_and_t(fs, t, N)
     is_2d = (xnp.ndim == 2)
 
-    wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
-    from .cwt import _canonical_wavelet
-    wavelet = _canonical_wavelet(Wavelet._init_if_not_isinstance(wavelet,
-                                                                 N=N))
+    from .cwt import resolve_wavelet
+    wavelet = resolve_wavelet(wavelet, l1_norm=True, N=N)
     from ..configs import device_dtype
     dtype = device_dtype(wavelet.dtype)
 
@@ -262,7 +260,8 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         klims=support_klims(wavelet, scales_np, n_up))
     scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
                                             dtype)
-    Tx, Wx, dWx = runner(xj, scales_j, np.asarray(dt, dtype), const_j)
+    from .cwt import _device_scalar
+    Tx, Wx, dWx = runner(xj, scales_j, _device_scalar(dt, dtype), const_j)
 
     # for CWT, ssq_freqs are always returned reversed (reference
     # ssqueezing.py:217-222: flips when `(cwt and not flipud) or flipud`)

@@ -67,7 +67,8 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
             Sx, dSx = stft_conv(xj, fs_val, n_fft, N, win_key, modulated,
                                 True, padtype, padlength, dtype)
         else:
-            Sx, dSx = framed_runner(xj, np.asarray(fs_val, dtype))
+            from .cwt import _device_scalar
+            Sx, dSx = framed_runner(xj, _device_scalar(fs_val, dtype))
         Sfs_j = jnp.asarray(Sfs_np)
         Sx_s = _apply_squeezing(Sx, squeezing)
         Tx = ssqueeze_fast(Sx_s, dSx, None, const, logscale=False,

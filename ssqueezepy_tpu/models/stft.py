@@ -100,7 +100,8 @@ def stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         runner = _stft_jit(xnp.shape, dtype, n_fft, int(hop_len), 0,
                            bool(modulated), bool(derivative), is_2d,
                            win_key, padtype, padlength)
-        Sx, dSx = runner(xj, np.asarray(fs_, dtype))
+        from .cwt import _device_scalar
+        Sx, dSx = runner(xj, _device_scalar(fs_, dtype))
     return (Sx, dSx) if derivative else Sx
 
 
