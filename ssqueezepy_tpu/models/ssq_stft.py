@@ -53,19 +53,24 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
     # tracer, and lru-cached closures would leak it into later traces
     if use_conv:
         from ..ops.stft_conv import _device_filterbank, _next_fft_len
-        _device_filterbank(win_key, int(n_fft), int(_next_fft_len(
+        tables = _device_filterbank(win_key, int(n_fft), int(_next_fft_len(
             padlength)), bool(modulated), dtype)
         framed_runner = None
     else:
+        tables = ()
         framed_runner = _stft_jit(shape, dtype, n_fft, hop_len, 0,
                                   modulated, True, is_2d, win_key, padtype,
                                   padlength)
 
-    def run(xj):
+    def run(xj, *tbl):
+        # filterbank tables ride as ARGUMENTS: closed-over device arrays
+        # would be inlined as jaxpr constants, and lowering fetches them
+        # to host (minutes at large N through the device tunnel)
         xj = xj.astype(dtype)
         if use_conv:
             Sx, dSx = stft_conv(xj, fs_val, n_fft, N, win_key, modulated,
-                                True, padtype, padlength, dtype)
+                                True, padtype, padlength, dtype,
+                                tables=tbl)
         else:
             from .cwt import _device_scalar
             Sx, dSx = framed_runner(xj, _device_scalar(fs_val, dtype))
@@ -75,7 +80,9 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
                            flipud=flipud, gamma=gamma, Sfs=Sfs_j,
                            params=params, natural_bins=natural)
         return Tx, Sx, dSx
-    return jax.jit(run)
+
+    jitted = jax.jit(run)
+    return lambda xj: jitted(xj, *tables)
 
 
 def _make_Sfs(Sx, fs):

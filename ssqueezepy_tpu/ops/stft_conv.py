@@ -271,14 +271,24 @@ def _device_filterbank(win_key, n_fft, Np2, modulated, dtype):
 
 
 def stft_conv(xj, fs, n_fft, N_out, win_key, modulated, derivative,
-              padtype, padlength, dtype, interpret=False):
+              padtype, padlength, dtype, interpret=False, tables=None):
     """Run the convolution-form STFT. `xj` raw (unpadded) device/np
-    array; returns (Sx, dSx or None)."""
+    array; returns (Sx, dSx or None).
+
+    `tables`: pass the `_device_filterbank(...)` tuple explicitly when
+    calling from inside an OUTER trace — otherwise the device tables
+    become closed-over constants of the outer jaxpr and lowering inlines
+    them (a full device->host fetch of the multi-hundred-MB filterbank,
+    which stalls compilation for minutes at large N)."""
     Np = padlength
     Np2 = _next_fft_len(Np)
-    Hre, Him, Hdre, Hdim = _device_filterbank(win_key, int(n_fft),
-                                              int(Np2), bool(modulated),
-                                              str(dtype))
+    if tables is not None:
+        Hre, Him, Hdre, Hdim = tables
+    else:
+        Hre, Him, Hdre, Hdim = _device_filterbank(win_key, int(n_fft),
+                                                  int(Np2),
+                                                  bool(modulated),
+                                                  str(dtype))
     if _stft_pallas_applicable(Np2, tuple(xj.shape)) or interpret:
         runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
                                   int(N_out), bool(derivative), padtype,
