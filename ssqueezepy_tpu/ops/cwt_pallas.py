@@ -67,11 +67,12 @@ def _dot_lo(a, b):
 
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
-                 dtype, na_mod=None, deriv_lowprec=False):
+                 dtype, na_mod=None, deriv_lowprec=False, rps=1):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
+    assert rps == 1 or na_mod is None
 
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
                tre_r, tim_r, w2re_r, w2im_r, *outs):
@@ -92,43 +93,50 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
         # `pl.when` bucket branches measured 20% SLOWER end-to-end than
         # no pruning at all — predication defeats Mosaic's pipelining).
         i = pl.program_id(0)
-        if na_mod is None:           # grid = (na,): 1D signal
-            scale = scale_r[i, 0]
+        if na_mod is None:           # grid covers rows (rps per step)
             xh_re, xh_im = xhre_r[:], xhim_r[:]
         else:                        # grid = (B*na,): batched signal
-            scale = scale_r[jax.lax.rem(i, na_mod), 0]
             xh_re, xh_im = xhre_r[0], xhim_r[0]
         xi = xi_r[:]                                   # (f2, rows0)
-        # xh arrives pre-masked (pad zeros + Nyquist/2 folded in outside)
-        psih = wavelet_fn(scale * xi, xp=jnp)
-        if not l1_norm:
-            psih = psih * jnp.sqrt(scale)
-        Pre = psih * xh_re                             # (f2, rows0)
-        Pim = psih * xh_im
-
         w2re, w2im = w2re_r[:], w2im_r[:]              # (k2span, f2)
 
-        def pipeline(Pre, Pim, out_re_r, out_im_r, dot):
-            for h in range(nh):
-                sl = slice(h * hk1, (h + 1) * hk1)
-                # stage 1: A^T[m2, k1] = sum_m1 P^T[m2, m1] W^T[m1, k1]
-                wre, wim = wre_r[:, sl], wim_r[:, sl]  # (rows0, hk1)
-                Are = dot(Pre, wre) - dot(Pim, wim)    # (f2, hk1)
-                Aim = dot(Pim, wre) + dot(Pre, wim)
-                # twiddle W_n^{k1 m2} (transposed constant)
-                tre, tim = tre_r[:, sl], tim_r[:, sl]  # (f2, hk1)
-                Atre = Are * tre - Aim * tim
-                Atim = Are * tim + Aim * tre
-                # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
-                out_re_r[0, :, sl] = dot(w2re, Atre) - dot(w2im, Atim)
-                out_im_r[0, :, sl] = dot(w2re, Atim) + dot(w2im, Atre)
+        # At small N each grid step's dots are tiny and the ~300-step
+        # grid's fixed per-step cost dominates; `rps` scale rows are
+        # processed per step (statically unrolled) so the grid shrinks
+        # by rps while VMEM stays bounded.
+        for j in range(rps):
+            if na_mod is None:
+                scale = scale_r[i * rps + j, 0]
+            else:
+                scale = scale_r[jax.lax.rem(i, na_mod), 0]
+            # xh arrives pre-masked (pad zeros + Nyquist/2 folded in)
+            psih = wavelet_fn(scale * xi, xp=jnp)
+            if not l1_norm:
+                psih = psih * jnp.sqrt(scale)
+            Pre = psih * xh_re                         # (f2, rows0)
+            Pim = psih * xh_im
 
-        pipeline(Pre, Pim, outs[0], outs[1], _dot)
-        if deriv:
-            # spectral derivative: multiply spectrum by 1j * xi / dt
-            xid = xi * invdt_r[0, 0]
-            pipeline(-xid * Pim, xid * Pre, outs[2], outs[3],
-                     _dot_lo if deriv_lowprec else _dot)
+            def pipeline(Pre, Pim, out_re_r, out_im_r, dot, j=j):
+                for h in range(nh):
+                    sl = slice(h * hk1, (h + 1) * hk1)
+                    # stage 1: A^T[m2,k1] = sum_m1 P^T[m2,m1] W^T[m1,k1]
+                    wre, wim = wre_r[:, sl], wim_r[:, sl]  # (rows0, hk1)
+                    Are = dot(Pre, wre) - dot(Pim, wim)    # (f2, hk1)
+                    Aim = dot(Pim, wre) + dot(Pre, wim)
+                    # twiddle W_n^{k1 m2} (transposed constant)
+                    tre, tim = tre_r[:, sl], tim_r[:, sl]  # (f2, hk1)
+                    Atre = Are * tre - Aim * tim
+                    Atim = Are * tim + Aim * tre
+                    # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
+                    out_re_r[j, :, sl] = dot(w2re, Atre) - dot(w2im, Atim)
+                    out_im_r[j, :, sl] = dot(w2re, Atim) + dot(w2im, Atre)
+
+            pipeline(Pre, Pim, outs[0], outs[1], _dot)
+            if deriv:
+                # spectral derivative: multiply spectrum by 1j * xi / dt
+                xid = xi * invdt_r[0, 0]
+                pipeline(-xid * Pim, xid * Pre, outs[2], outs[3],
+                         _dot_lo if deriv_lowprec else _dot)
 
     return kernel
 
@@ -324,9 +332,17 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     # so each kernel is the plain unpruned kernel at a smaller K (exact:
     # the sliced-away spectrum rows multiply f32-underflowed psih — see
     # `support_klims`).
+    # rows per grid step: at small N (narrow outputs) the fixed per-step
+    # grid cost dominates the tiny dots; unroll several rows per step
+    rps_all = 1
+    if not batched and k2span * f1 * 4 <= 2 ** 18:
+        rps_all = 8
+
     pieces = []
     for (r0, r1, kb) in _plan_ranges(klims, na, rows0):
         nb = r1 - r0
+        rps = rps_all if (not batched and nb >= rps_all) else 1
+        nb_pad = -(-nb // rps) * rps
         if batched:
             xh_spec = pl.BlockSpec((1, f2, kb),
                                    lambda i, nb=nb: (i // nb, 0, 0),
@@ -336,7 +352,7 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
             xh_spec = const((f2, kb))
             xrb, xib = xr[:, :kb], xi_[:, :kb]
         in_specs = [
-            pl.BlockSpec((nb, 1), lambda i: (0, 0),
+            pl.BlockSpec((nb_pad, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -345,11 +361,17 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
             const((f2, f1)), const((f2, f1)),
             const((k2span, f2)), const((k2span, f2)),
         ]
+        rng_out_spec = pl.BlockSpec((rps, k2span, f1),
+                                    lambda i: (i, 0, 0),
+                                    memory_space=pltpu.VMEM)
         kernel = _make_kernel(wavelet.fn, kb, f1, f2, k2span, deriv,
                               l1_norm, jnp.dtype(dt_s),
                               na_mod=(nb if batched else None),
-                              deriv_lowprec=deriv_lowprec)
-        args = [scales_col[r0:r1], invdt_a,
+                              deriv_lowprec=deriv_lowprec, rps=rps)
+        scl = scales_col[r0:r1]
+        if nb_pad != nb:
+            scl = jnp.pad(scl, ((0, nb_pad - nb), (0, 0)), mode='edge')
+        args = [scl, invdt_a,
                 jnp.asarray(np.ascontiguousarray(xi_blk[:, :kb]), dt_s),
                 xrb.astype(dt_s), xib.astype(dt_s),
                 jnp.asarray(np.ascontiguousarray(wre[:kb])),
@@ -358,10 +380,10 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                 jnp.asarray(w2re), jnp.asarray(w2im)]
         outs = pl.pallas_call(
             kernel,
-            grid=(B * nb,),
+            grid=(B * nb_pad // rps,),
             in_specs=in_specs,
-            out_specs=(out_spec,) * n_out,
-            out_shape=(jax.ShapeDtypeStruct((B * nb, k2span, f1),
+            out_specs=(rng_out_spec,) * n_out,
+            out_shape=(jax.ShapeDtypeStruct((B * nb_pad, k2span, f1),
                                             dt_s),) * n_out,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -371,8 +393,9 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
             pieces.append(tuple(o.reshape(B, nb, out_w)[..., off:off + N]
                                 for o in outs))
         else:
-            pieces.append(tuple(o.reshape(nb, out_w)[:, off:off + N]
-                                for o in outs))
+            pieces.append(tuple(
+                o.reshape(nb_pad, out_w)[:nb, off:off + N]
+                for o in outs))
 
     if len(pieces) == 1:
         return pieces[0]
