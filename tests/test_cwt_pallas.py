@@ -60,3 +60,28 @@ def test_fused_cwt_beta_variant():
                                False, True, interpret=True)
     m = float(jnp.abs(Wx_r.re).max())
     assert float(jnp.abs(Wx_p.re - Wx_r.re).max()) / m < 2e-5
+
+
+def test_fused_cwt_row_unroll_matches_single():
+    """The small-N path unrolls 8 scale rows per grid step (with the
+    scale count padded up to a multiple of 8); assert against the XLA
+    half-spectrum reference — pins the per-step row indexing, the
+    (8, k2span, f1) output-block layout, and the edge-row padding."""
+    from ssqueezepy_tpu.ops import cwt_pallas as cp
+    N = 3000
+    w, xp, scales_j, n_up, n1 = _setup(N)
+    assert scales_j.shape[0] % 8 != 0  # exercise the padded tail
+    half = n_up // 2 + 1
+    xh = fft(Complex(xp, jnp.zeros_like(xp)), out_range=(0, half),
+             imag_zero=True, engine='matmul')
+
+    Wx_8, dWx_8 = cwt_fused_pallas(xh, scales_j, w, n_up, n1, N, 1.0,
+                                   True, True, interpret=True)
+    outs = cp._cwt_half_xla(xh.re, xh.im, scales_j.reshape(-1),
+                            jnp.float32(1.0), w, n_up, n1, N, True, True,
+                            'float32')
+    m = float(jnp.abs(outs[0]).max())
+    assert float(jnp.abs(Wx_8.re - outs[0]).max()) / m < 2e-5
+    assert float(jnp.abs(Wx_8.im - outs[1]).max()) / m < 2e-5
+    md = float(jnp.abs(outs[2]).max())
+    assert float(jnp.abs(dWx_8.re - outs[2]).max()) / md < 2e-5
