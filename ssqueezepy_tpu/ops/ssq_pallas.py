@@ -209,6 +209,50 @@ def _apply_perm(x, perm):
 # --------------------------------------------------------------------------
 # fused phase + bin + shift-scatter kernel
 # --------------------------------------------------------------------------
+def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
+    """Traceable phase transform + bin map shared by the fused scatter
+    kernel and the CWT kernel's bin-output variant: w = |Im((dW/W))/2pi|
+    (or |Sfs - .|), gamma-gated, mapped through the lin/log/log-piecewise
+    bin arithmetic (reference algos.py:859-984). Returns (k int32,
+    valid bool)."""
+    omax = params['omax']
+    dt = C.dtype
+    denom = (C * C + D * D)
+    w = (B * C - A * D) / (denom * _TWO_PI)
+    if sfs is not None:
+        w = jnp.abs(sfs - w)
+    else:
+        w = jnp.abs(w)
+    valid = denom > jnp.asarray(gamma, dt) ** 2
+    w = jnp.where(valid, w, jnp.inf)
+
+    if mode == 'lin':
+        k = jnp.minimum(jnp.round(jnp.maximum(
+            (w - params['vmin']) / jnp.asarray(params['dv'], dt), 0)),
+            omax)
+    elif mode == 'log':
+        wl = jnp.log2(w)
+        k = jnp.minimum(jnp.round(jnp.maximum(
+            (wl - params['vlmin']) / jnp.asarray(params['dvl'], dt),
+            0)), omax)
+    else:  # log-piecewise
+        wl = jnp.log2(w)
+        k_hi = jnp.minimum(
+            jnp.round((wl - params['vlmin1'])
+                      / jnp.asarray(params['dvl1'], dt))
+            + params['idx1'], omax)
+        k_lo = jnp.maximum(
+            jnp.round((wl - params['vlmin0'])
+                      / jnp.asarray(params['dvl0'], dt)), 0)
+        k = jnp.where(wl > params['vlmin1'], k_hi, k_lo)
+
+    valid = valid & jnp.isfinite(w)
+    k = jnp.where(valid, k, 0).astype(jnp.int32)
+    if flipud:
+        k = omax - k
+    return k, valid
+
+
 def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
                        has_sfs):
     omax = params['omax']
@@ -225,39 +269,8 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
         A, B = dwxr[:], dwxi[:]
         dt = C.dtype
 
-        denom = (C * C + D * D)
-        w = (B * C - A * D) / (denom * _TWO_PI)
-        if has_sfs:
-            w = jnp.abs(sfs_r[:] - w)
-        else:
-            w = jnp.abs(w)
-        valid = denom > jnp.asarray(gamma, dt) ** 2
-        w = jnp.where(valid, w, jnp.inf)
-
-        if mode == 'lin':
-            k = jnp.minimum(jnp.round(jnp.maximum(
-                (w - params['vmin']) / jnp.asarray(params['dv'], dt), 0)),
-                omax)
-        elif mode == 'log':
-            wl = jnp.log2(w)
-            k = jnp.minimum(jnp.round(jnp.maximum(
-                (wl - params['vlmin']) / jnp.asarray(params['dvl'], dt),
-                0)), omax)
-        else:  # log-piecewise
-            wl = jnp.log2(w)
-            k_hi = jnp.minimum(
-                jnp.round((wl - params['vlmin1'])
-                          / jnp.asarray(params['dvl1'], dt))
-                + params['idx1'], omax)
-            k_lo = jnp.maximum(
-                jnp.round((wl - params['vlmin0'])
-                          / jnp.asarray(params['dvl0'], dt)), 0)
-            k = jnp.where(wl > params['vlmin1'], k_hi, k_lo)
-
-        valid = valid & jnp.isfinite(w)
-        k = jnp.where(valid, k, 0).astype(jnp.int32)
-        if flipud:
-            k = omax - k
+        k, valid = _phase_bin_math(C, D, A, B, params, gamma, flipud,
+                                   mode, sfs=sfs_r[:] if has_sfs else None)
 
         validf = valid.astype(dt)
         cst = const_r[:]
