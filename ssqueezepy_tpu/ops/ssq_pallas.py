@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .complexlib import Complex
 
-__all__ = ['shift_scatter_pallas', 'ssq_fused_pallas']
+__all__ = ['shift_scatter_pallas', 'ssq_fused_pallas',
+           'scatter_kv_pallas']
 
 _TWO_PI = 6.283185307179586
 
@@ -444,6 +445,141 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # standalone shift-scatter (k precomputed) — used by indexed_sum paths and
 # the sharded (per-shard rows -> full bin space) reassignment
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# k-consuming fused scatter: the CWT kernel emits bin indices directly
+# (k < 0 marks gamma-gated cells), so the derivative planes never touch
+# HBM; this kernel multiplies Wx by the per-row squeeze constant,
+# extracts edge-clamped bins via static reductions, and shift-scatters
+# --------------------------------------------------------------------------
+def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
+    omax = nbins - 1
+
+    def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
+               oaccr, oacci):
+        dt = wxr.dtype
+        k = k_r[:]
+        valid = (k >= 0) & (k <= omax)
+        validf = valid.astype(dt)
+        cst = const_r[:]
+        vre = wxr[:] * cst * validf
+        vim = wxi[:] * cst * validf
+
+        # edge-clamped cells have huge displacements; their targets are
+        # static rows -> accumulate with two sublane reductions and drop
+        # them from the shift/extraction tiers (mirrors the full fused
+        # kernel)
+        m_lo = valid & (k == 0)
+        m_hi = valid & (k == omax)
+        lo_re = jnp.sum(vre * m_lo.astype(dt), axis=0)
+        lo_im = jnp.sum(vim * m_lo.astype(dt), axis=0)
+        hi_re = jnp.sum(vre * m_hi.astype(dt), axis=0)
+        hi_im = jnp.sum(vim * m_hi.astype(dt), axis=0)
+        edge = m_lo | m_hi
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
+        dm = jnp.where(valid & ~edge, k - rows, _BIG)
+        _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
+                            acc, oaccr, oacci, outr, outi)
+        outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
+        outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
+        outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
+        outi[pl.ds(omax, 1)] = outi[pl.ds(omax, 1)] + hi_im.reshape(1, T)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
+                                             'interpret', 'T'))
+def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
+                     interpret, T=1024):
+    na, N = wxr.shape
+    na_pad = _round_up(max(na, _GROUP), _GROUP)
+    nbins_pad = _round_up(max(nbins, 8), 8)
+    N_pad = _round_up(N, T)
+    dt = wxr.dtype
+    rp, cp = na_pad - na, N_pad - N
+
+    def prep(x):
+        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+
+    # padded cells carry k = -1 (invalid)
+    k_ = jnp.pad(_apply_perm(k, perm), ((0, rp), (0, cp)),
+                 constant_values=-1)
+    const_ = jnp.pad(_apply_perm(const_col, perm).reshape(-1, 1),
+                     ((0, rp), (0, 0)))
+    offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
+
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
+    bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(N_pad // T,),
+        in_specs=[bs, bs, bs, cs, cs],
+        out_specs=(os, os),
+        out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
+                   jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(prep(wxr), prep(wxi), k_, const_, offs)
+    return out_re[:nbins, :N], out_im[:nbins, :N]
+
+
+@functools.lru_cache(maxsize=64)
+def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T):
+    """custom_vjp: forward = k-consuming Pallas scatter; backward =
+    adjoint gather via the XLA formulation (k is integer-valued and
+    carries no tangent)."""
+    def xla_ref(wxr, wxi, k, const_col):
+        from .ssq_kernels import _scatter_xla
+        c = const_col.reshape(-1, 1)
+        valid = (k >= 0) & (k < nbins)
+        out = _scatter_xla(wxr * c, wxi * c, k, valid, nbins)
+        return out.re, out.im
+
+    @jax.custom_vjp
+    def f(wxr, wxi, k, const_col):
+        return _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm,
+                                nat_key, interpret, T=T)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
+                      interpret=False, T=1024):
+    """Reassignment from precomputed bin indices: `out[k[i,j], j] +=
+    Wx[i,j] * const[i]`, with `k < 0` (or >= nbins) marking invalid
+    cells. Edge bins (0, nbins-1) extract via static reductions.
+    Differentiable in Wx (custom VJP: adjoint gather)."""
+    na = Wx.shape[-2]
+    perm = _plan_perm(natural_bins, na)
+    nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
+               if natural_bins is not None and len(natural_bins) == na
+               else None)
+    dt = Wx.dtype
+    c = jnp.asarray(const, dt).reshape(-1)
+    const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
+    f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
+                           int(T))
+    outr, outi = f(Wx.re, Wx.im, k, const_col)
+    return Complex(outr, outi)
+
+
 def _make_scatter_kernel(na_pad, nbins_pad, T):
     def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
                oaccr, oacci):

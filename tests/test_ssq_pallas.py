@@ -534,3 +534,60 @@ def test_scatter_shard_uniform_offset_no_natural():
                        jnp.asarray(valid), nbins)
     assert np.allclose(np.asarray(out.re), np.asarray(ref.re),
                        **_tol('float32'))
+
+
+def test_scatter_kv_vs_xla():
+    """k-consuming scatter (CWT-kernel-emitted bins): k<0 invalid,
+    per-row const multiply, edge-bin extraction — vs XLA scatter."""
+    from ssqueezepy_tpu.ops.ssq_pallas import scatter_kv_pallas
+    rng = np.random.default_rng(17)
+    na, N, nbins = 61, 200, 61
+    wr, wi = _rand_cplx(rng, (na, N), 'float32')
+    nat = np.arange(na, dtype=np.int32)
+    dev = rng.integers(-10, 11, (na, N))
+    k = np.clip(nat[:, None] + dev, 0, nbins - 1).astype(np.int32)
+    # sprinkle edge saturation, far outliers, and invalid cells
+    k[(rng.random((na, N)) < 0.05)] = 0
+    k[(rng.random((na, N)) < 0.05)] = nbins - 1
+    far = rng.random((na, N)) < 0.02
+    k = np.where(far, rng.integers(0, nbins, (na, N)), k).astype(np.int32)
+    inv = rng.random((na, N)) < 0.1
+    k = np.where(inv, -1, k).astype(np.int32)
+    const = rng.random(na).astype(np.float32) + 0.5
+
+    out = scatter_kv_pallas(Complex(jnp.asarray(wr), jnp.asarray(wi)),
+                            jnp.asarray(k), jnp.asarray(const), nbins,
+                            natural_bins=nat, interpret=True, T=128)
+    c = const.reshape(-1, 1)
+    ref = _scatter_xla(jnp.asarray(wr * c), jnp.asarray(wi * c),
+                       jnp.asarray(np.where(inv, 0, k)),
+                       jnp.asarray(~inv), nbins)
+    assert np.allclose(np.asarray(out.re), np.asarray(ref.re),
+                       **_tol('float32'))
+    assert np.allclose(np.asarray(out.im), np.asarray(ref.im),
+                       **_tol('float32'))
+
+
+def test_scatter_kv_grad():
+    """VJP of the k-consuming scatter is the adjoint gather."""
+    from ssqueezepy_tpu.ops.ssq_pallas import scatter_kv_pallas
+    rng = np.random.default_rng(4)
+    na, N, nbins = 32, 96, 32
+    wr, wi = _rand_cplx(rng, (na, N), 'float32')
+    k = rng.integers(0, nbins, (na, N)).astype(np.int32)
+    const = np.ones(na, np.float32)
+
+    def loss(a, b):
+        out = scatter_kv_pallas(Complex(a, b), jnp.asarray(k),
+                                jnp.asarray(const), nbins,
+                                natural_bins=None, interpret=True, T=96)
+        return (out.re ** 2).sum() + (out.im ** 2).sum()
+
+    import jax
+    g = jax.grad(loss, argnums=(0, 1))(jnp.asarray(wr), jnp.asarray(wi))
+    # adjoint check: d/dW of sum(out^2) = 2 * gather(out)[k]
+    from ssqueezepy_tpu.ops.ssq_kernels import _scatter_xla as sx
+    ref = sx(jnp.asarray(wr), jnp.asarray(wi), jnp.asarray(k),
+             jnp.ones((na, N), bool), nbins)
+    exp_r = 2 * np.asarray(ref.re)[k, np.arange(N)[None, :].repeat(na, 0)]
+    assert np.allclose(np.asarray(g[0]), exp_r, rtol=1e-4, atol=1e-5)
