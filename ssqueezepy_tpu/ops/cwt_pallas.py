@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .complexlib import Complex
 
-__all__ = ['cwt_fused_pallas', 'cwt_pallas_applicable']
+__all__ = ['cwt_fused_pallas', 'cwt_fused_bins_pallas',
+           'cwt_pallas_applicable']
 
 # Mosaic lowers fp32 dots through the full-precision path regardless of
 # the precision flag (measured: DEFAULT == HIGHEST in-kernel), so fp32
@@ -67,12 +68,14 @@ def _dot_lo(a, b):
 
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
-                 dtype, na_mod=None, deriv_lowprec=False, rps=1):
+                 dtype, na_mod=None, deriv_lowprec=False, rps=1,
+                 bin_spec=None):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
     assert rps == 1 or na_mod is None
+    assert bin_spec is None or deriv
 
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
                tre_r, tim_r, w2re_r, w2im_r, *outs):
@@ -116,27 +119,50 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
             Pre = psih * xh_re                         # (f2, rows0)
             Pim = psih * xh_im
 
-            def pipeline(Pre, Pim, out_re_r, out_im_r, dot, j=j):
-                for h in range(nh):
-                    sl = slice(h * hk1, (h + 1) * hk1)
-                    # stage 1: A^T[m2,k1] = sum_m1 P^T[m2,m1] W^T[m1,k1]
-                    wre, wim = wre_r[:, sl], wim_r[:, sl]  # (rows0, hk1)
-                    Are = dot(Pre, wre) - dot(Pim, wim)    # (f2, hk1)
-                    Aim = dot(Pim, wre) + dot(Pre, wim)
-                    # twiddle W_n^{k1 m2} (transposed constant)
-                    tre, tim = tre_r[:, sl], tim_r[:, sl]  # (f2, hk1)
-                    Atre = Are * tre - Aim * tim
-                    Atim = Are * tim + Aim * tre
-                    # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
-                    out_re_r[j, :, sl] = dot(w2re, Atre) - dot(w2im, Atim)
-                    out_im_r[j, :, sl] = dot(w2re, Atim) + dot(w2im, Atre)
+            def half(Pre, Pim, dot, h):
+                sl = slice(h * hk1, (h + 1) * hk1)
+                # stage 1: A^T[m2, k1] = sum_m1 P^T[m2, m1] W^T[m1, k1]
+                wre, wim = wre_r[:, sl], wim_r[:, sl]      # (rows0, hk1)
+                Are = dot(Pre, wre) - dot(Pim, wim)        # (f2, hk1)
+                Aim = dot(Pim, wre) + dot(Pre, wim)
+                # twiddle W_n^{k1 m2} (transposed constant)
+                tre, tim = tre_r[:, sl], tim_r[:, sl]      # (f2, hk1)
+                Atre = Are * tre - Aim * tim
+                Atim = Are * tim + Aim * tre
+                # stage 2 + natural (k2, k1) layout: n = k1 + f1*k2
+                return (dot(w2re, Atre) - dot(w2im, Atim),
+                        dot(w2re, Atim) + dot(w2im, Atre), sl)
 
-            pipeline(Pre, Pim, outs[0], outs[1], _dot)
-            if deriv:
-                # spectral derivative: multiply spectrum by 1j * xi / dt
+            ddot = _dot_lo if deriv_lowprec else _dot
+            if bin_spec is None:
+                for h in range(nh):
+                    Ere, Eim, sl = half(Pre, Pim, _dot, h)
+                    outs[0][j, :, sl] = Ere
+                    outs[1][j, :, sl] = Eim
+                if deriv:
+                    # spectral derivative: spectrum times 1j * xi / dt
+                    xid = xi * invdt_r[0, 0]
+                    for h in range(nh):
+                        Ere, Eim, sl = half(-xid * Pim, xid * Pre, ddot, h)
+                        outs[2][j, :, sl] = Ere
+                        outs[3][j, :, sl] = Eim
+            else:
+                # bin-output variant: the derivative rows never leave
+                # VMEM — the phase transform + bin map run right here on
+                # the freshly computed half blocks and only the int32
+                # bin plane (k, -1 = gamma-gated) is written
+                from .ssq_pallas import _phase_bin_math
+                params, gamma, flipud, mode = bin_spec
                 xid = xi * invdt_r[0, 0]
-                pipeline(-xid * Pim, xid * Pre, outs[2], outs[3],
-                         _dot_lo if deriv_lowprec else _dot)
+                for h in range(nh):
+                    Wre, Wim, sl = half(Pre, Pim, _dot, h)
+                    outs[0][j, :, sl] = Wre
+                    outs[1][j, :, sl] = Wim
+                    Dre, Dim, _ = half(-xid * Pim, xid * Pre, ddot, h)
+                    k, valid = _phase_bin_math(Wre, Wim, Dre, Dim,
+                                               dict(params), gamma,
+                                               flipud, mode)
+                    outs[2][j, :, sl] = jnp.where(valid, k, -1)
 
     return kernel
 
@@ -243,22 +269,22 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
 @functools.partial(
     jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
                               'l1_norm', 'dtype', 'interpret',
-                              'deriv_lowprec', 'klims'))
+                              'deriv_lowprec', 'klims', 'bin_spec'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                     deriv, l1_norm, dtype, interpret=False,
-                    deriv_lowprec=False, klims=None):
+                    deriv_lowprec=False, klims=None, bin_spec=None):
     # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
     # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
     # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
     # per-m3-sliced hybrids measured net-neutral. Balanced 2-stage it is.
     return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                             n_up, n1, N, deriv, l1_norm, dtype, interpret,
-                            deriv_lowprec, klims)
+                            deriv_lowprec, klims, bin_spec)
 
 
 def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                      deriv, l1_norm, dtype, interpret=False,
-                     deriv_lowprec=False, klims=None):
+                     deriv_lowprec=False, klims=None, bin_spec=None):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
@@ -319,7 +345,13 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    n_out = 4 if deriv else 2
+    if bin_spec is not None:
+        out_dts = (dt_s, dt_s, 'int32')
+    elif deriv:
+        out_dts = (dt_s,) * 4
+    else:
+        out_dts = (dt_s,) * 2
+    n_out = len(out_dts)
     out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     off = n1 - k2lo * f1
@@ -367,7 +399,8 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
         kernel = _make_kernel(wavelet.fn, kb, f1, f2, k2span, deriv,
                               l1_norm, jnp.dtype(dt_s),
                               na_mod=(nb if batched else None),
-                              deriv_lowprec=deriv_lowprec, rps=rps)
+                              deriv_lowprec=deriv_lowprec, rps=rps,
+                              bin_spec=bin_spec)
         scl = scales_col[r0:r1]
         if nb_pad != nb:
             scl = jnp.pad(scl, ((0, nb_pad - nb), (0, 0)), mode='edge')
@@ -383,8 +416,9 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
             grid=(B * nb_pad // rps,),
             in_specs=in_specs,
             out_specs=(rng_out_spec,) * n_out,
-            out_shape=(jax.ShapeDtypeStruct((B * nb_pad, k2span, f1),
-                                            dt_s),) * n_out,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((B * nb_pad, k2span, f1), od)
+                for od in out_dts),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
@@ -465,6 +499,59 @@ def _cwt_fused_vjp_fn(wavelet_ref, n_up, n1, N, deriv, l1_norm, dtype,
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+@functools.lru_cache(maxsize=32)
+def _cwt_fused_bins_vjp_fn(wavelet_ref, n_up, n1, N, l1_norm, dtype,
+                           interpret, deriv_lowprec, klims, bin_spec):
+    """custom_vjp for the bin-output variant: forward = Pallas (Wx, k);
+    backward = jax.vjp of the XLA Wx-only half-spectrum formulation —
+    the bin plane is integer-valued and carries no tangent (matching the
+    XLA autodiff convention for `round`)."""
+    wavelet = wavelet_ref[0]
+
+    def xla_ref(xh_re, xh_im, scales, inv_dt):
+        return _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up,
+                             n1, N, False, l1_norm, dtype)
+
+    @jax.custom_vjp
+    def f(xh_re, xh_im, scales, inv_dt):
+        return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
+                               n_up, n1, N, True, l1_norm, dtype,
+                               interpret, deriv_lowprec, klims, bin_spec)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp((g[0], g[1]))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def cwt_fused_bins_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,
+                          params, gamma, flipud, interpret=False,
+                          deriv_lowprec=True, klims=None):
+    """Fused CWT + phase transform + bin map: returns (Wx, k) where `k`
+    is the int32 reassignment bin plane (-1 = gamma-gated). The
+    derivative rows never leave VMEM — at the benchmark shape this
+    avoids writing + re-reading two (na, N) float planes between the CWT
+    and scatter kernels and moves the phase arithmetic onto the CWT
+    kernel's idle VPU. Feed `k` to `ops.ssq_pallas.scatter_kv_pallas`.
+    Differentiable in the spectrum (custom VJP; k carries no tangent)."""
+    dtype = str(xh.re.dtype)
+    scales = scales_j.reshape(-1)
+    inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
+    bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
+                params['mode'])
+    f = _cwt_fused_bins_vjp_fn(
+        (wavelet,), int(n_up), int(n1), int(N), bool(l1_norm), dtype,
+        bool(interpret), bool(deriv_lowprec),
+        klims if klims is None else tuple(klims), bin_spec)
+    Wre, Wim, k = f(xh.re, xh.im, scales, inv_dt)
+    return Complex(Wre, Wim), k
 
 
 def cwt_fused_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, derivative,

@@ -85,3 +85,52 @@ def test_fused_cwt_row_unroll_matches_single():
     assert float(jnp.abs(Wx_8.im - outs[1]).max()) / m < 2e-5
     md = float(jnp.abs(outs[2]).max())
     assert float(jnp.abs(dWx_8.re - outs[2]).max()) / md < 2e-5
+
+
+def test_fused_cwt_bins_variant():
+    """(Wx, k) from the bin-output kernel == Wx from the 4-output kernel
+    + the same phase/bin math applied outside (deriv_lowprec=False so
+    the in-kernel derivative blocks match the written dWx exactly)."""
+    from ssqueezepy_tpu.ops.cwt_pallas import cwt_fused_bins_pallas
+    from ssqueezepy_tpu.ops.ssq_pallas import _phase_bin_math
+    from ssqueezepy_tpu.ops.ssq_kernels import ssq_bin_params
+    from ssqueezepy_tpu.models.ssqueezing import \
+        _compute_associated_frequencies
+    from ssqueezepy_tpu.utils.cwt_utils import process_scales
+
+    N = 3000
+    w, xp, scales_j, n_up, n1 = _setup(N)
+    scales_np = np.asarray(scales_j).reshape(-1, 1)
+    ssq_freqs = _compute_associated_frequencies(
+        scales_np, N, w, 'log-piecewise', 'peak', True, 1.0, 'cwt')
+    params = dict(ssq_bin_params(ssq_freqs, True))
+    gamma = float(10 * np.finfo(np.float32).eps)
+    half = n_up // 2 + 1
+    xh = fft(Complex(xp, jnp.zeros_like(xp)), out_range=(0, half),
+             imag_zero=True, engine='matmul')
+
+    Wx_b, k_b = cwt_fused_bins_pallas(
+        xh, scales_j, w, n_up, n1, N, 1.0, True, params, gamma, True,
+        interpret=True, deriv_lowprec=False)
+    Wx_r, dWx_r = cwt_fused_pallas(xh, scales_j, w, n_up, n1, N, 1.0,
+                                   True, True, interpret=True)
+    k_ref, valid_ref = _phase_bin_math(
+        Wx_r.re, Wx_r.im, dWx_r.re, dWx_r.im, params, gamma, True,
+        params['mode'])
+    k_ref = np.where(np.asarray(valid_ref), np.asarray(k_ref), -1)
+
+    m = float(jnp.abs(Wx_r.re).max())
+    assert float(jnp.abs(Wx_b.re - Wx_r.re).max()) / m < 1e-6
+    assert float(jnp.abs(Wx_b.im - Wx_r.im).max()) / m < 1e-6
+    # bin indices come from round() on float phase values: cells landing
+    # exactly on a bin boundary may flip by one ulp of FMA-contraction
+    # difference between the in-kernel and the reference computation (the
+    # reference library's own +-1-bin criterion, algos.py:288-293) — so
+    # demand exactness except for rare +-1-bin boundary flips
+    kb = np.asarray(k_b)
+    diff = kb != k_ref
+    assert diff.mean() < 1e-4, diff.mean()
+    both_valid = (kb >= 0) & (k_ref >= 0)
+    assert np.array_equal(kb >= 0, k_ref >= 0)      # gamma gate identical
+    assert np.abs(kb[both_valid & diff]
+                  - k_ref[both_valid & diff]).max(initial=0) <= 1
