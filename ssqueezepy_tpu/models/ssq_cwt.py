@@ -45,6 +45,45 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
     natural_bins = np.asarray(natural_key, np.int32) if natural_key \
         else None
 
+    # bins path: the CWT kernel emits (Wx, k) directly — the derivative
+    # planes never round-trip HBM and the scatter consumes k. Only when
+    # the caller does not need dWx back (deriv_lowprec implies that) and
+    # the fused CWT kernel covers this configuration.
+    use_bins = False
+    if deriv_lowprec and gamma is not None:
+        from ..ops.ssq_kernels import _pallas_enabled
+        from ..ops.cwt_pallas import cwt_pallas_applicable
+        from .cwt import _is_analytic
+        use_pallas, interp = _pallas_enabled()
+        if use_pallas and cwt_pallas_applicable(wavelet, n_up, is_2d) \
+                and _is_analytic(wavelet) and padtype is not None:
+            psih_probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+            use_bins = not isinstance(psih_probe, tuple)
+
+    if use_bins:
+        from ..ops.fft import fft as _fft
+        from ..ops.cwt_pallas import cwt_fused_bins_pallas
+        from ..ops.ssq_pallas import scatter_kv_pallas
+        half = n_up // 2 + 1
+        nbins = params['omax'] + 1
+
+        def run(xj, scales_j, dt, const):
+            xj = xj.astype(dtype)
+            xj = jnp.where(jnp.isfinite(xj), xj, 0)
+            xp_pad = padsignal(xj, padtype)
+            xh = _fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1,
+                      out_range=(0, half), imag_zero=True)
+            Wx, k = cwt_fused_bins_pallas(
+                xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm, params,
+                gamma, flipud, interpret=interp, deriv_lowprec=True,
+                klims=klims)
+            Wx_s = _apply_squeezing(Wx, squeezing)
+            Tx = scatter_kv_pallas(Wx_s, k, const, nbins,
+                                   natural_bins=natural_bins,
+                                   interpret=interp)
+            return Tx, Wx, None
+        return jax.jit(run)
+
     def run(xj, scales_j, dt, const):
         xj = xj.astype(dtype)
         xj = jnp.where(jnp.isfinite(xj), xj, 0)

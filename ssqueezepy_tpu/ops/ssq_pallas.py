@@ -576,7 +576,11 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
     f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
                            int(T))
-    outr, outi = f(Wx.re, Wx.im, k, const_col)
+    if Wx.re.ndim == 3:
+        outr, outi = jax.vmap(
+            lambda a, b, kk: f(a, b, kk, const_col))(Wx.re, Wx.im, k)
+    else:
+        outr, outi = f(Wx.re, Wx.im, k, const_col)
     return Complex(outr, outi)
 
 

@@ -591,3 +591,38 @@ def test_scatter_kv_grad():
              jnp.ones((na, N), bool), nbins)
     exp_r = 2 * np.asarray(ref.re)[k, np.arange(N)[None, :].repeat(na, 0)]
     assert np.allclose(np.asarray(g[0]), exp_r, rtol=1e-4, atol=1e-5)
+
+
+def test_ssq_cwt_bins_path_end_to_end():
+    """Full public ssq_cwt through the bins fast path (the CWT kernel
+    emits k; scatter_kv consumes it) in interpret mode vs the XLA path:
+    column sums match to float noise (mass-exact routing) and the
+    reconstruction is unchanged."""
+    import jax
+    import ssqueezepy_tpu as stq
+    from ssqueezepy_tpu.configs import configure, reset_config
+    from ssqueezepy_tpu.models import ssq_cwt as mod
+
+    N = 2048
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(N).astype(np.float32)
+
+    Tx_x, Wx_x, _, _ = stq.ssq_cwt(x, astensor=False)
+    try:
+        configure(pallas_interpret=True, backend='tpu')
+        mod._ssq_cwt_jit.cache_clear()
+        Tx_p, Wx_p, _, _ = stq.ssq_cwt(x, astensor=False)
+    finally:
+        reset_config()
+        mod._ssq_cwt_jit.cache_clear()
+
+    # Wx identical up to kernel dot rounding
+    m = np.abs(Wx_x).max()
+    assert np.abs(Wx_p - Wx_x).max() / m < 1e-4
+    # column sums are invariant to +-1-bin boundary flips
+    cs = np.abs(Tx_p.sum(0) - Tx_x.sum(0)).max()
+    assert cs < 1e-4 * max(np.abs(Tx_x).max(), 1e-9), cs
+    # reconstruction equality
+    r_p = stq.issq_cwt(Tx_p)
+    r_x = stq.issq_cwt(Tx_x)
+    assert np.abs(np.asarray(r_p) - np.asarray(r_x)).max() < 1e-4
