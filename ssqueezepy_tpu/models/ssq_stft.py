@@ -33,7 +33,7 @@ __all__ = ['ssq_stft', 'issq_stft']
 def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
                        padtype, padlength, fs_val, flipud, squeezing,
                        param_items, gamma, natural_key, sfs_key,
-                       const_val):
+                       const_val, need_dsx=False):
     """Cached fused jit: raw signal -> (Tx, Sx, dSx). Traces the
     convolution-form (or framed) STFT and the fused reassignment into one
     program; all plan constants are static."""
@@ -61,6 +61,37 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
         framed_runner = _stft_jit(shape, dtype, n_fft, hop_len, 0,
                                   modulated, True, is_2d, win_key, padtype,
                                   padlength)
+
+    # bins path: the conv-STFT kernel emits (Sx, k) directly (window-
+    # derivative rows never leave VMEM; phase+bin on the kernel's VPU)
+    use_bins = False
+    if use_conv and gamma is not None and not need_dsx:
+        from ..ops.ssq_kernels import _pallas_enabled
+        from ..ops.stft_conv import _stft_pallas_applicable, _next_fft_len
+        use_pallas, interp = _pallas_enabled()
+        use_bins = (use_pallas and
+                    _stft_pallas_applicable(_next_fft_len(padlength),
+                                            shape))
+
+    if use_bins:
+        from ..ops.stft_conv import stft_conv_bins
+        from ..ops.ssq_pallas import scatter_kv_pallas
+        nbins = params['omax'] + 1
+
+        def run(xj, *tbl):
+            xj = xj.astype(dtype)
+            Sx, k = stft_conv_bins(xj, fs_val, n_fft, N, win_key,
+                                   modulated, padtype, padlength, dtype,
+                                   params, gamma, flipud, sfs_key, tbl,
+                                   interpret=interp)
+            Sx_s = _apply_squeezing(Sx, squeezing)
+            Tx = scatter_kv_pallas(Sx_s, k, const, nbins,
+                                   natural_bins=natural,
+                                   interpret=interp)
+            return Tx, Sx, None
+
+        jitted = jax.jit(run)
+        return lambda xj: jitted(xj, *tables)
 
     def run(xj, *tbl):
         # filterbank tables ride as ARGUMENTS: closed-over device arrays
@@ -145,7 +176,7 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
             squeezing if isinstance(squeezing, str) else None,
             tuple(sorted(params.items())), gamma,
             tuple(natural.tolist()) if natural is not None else None,
-            tuple(Sfs.tolist()), const)
+            tuple(Sfs.tolist()), const, need_dsx=bool(get_dWx))
         Tx, Sx, dSx = runner(jnp.asarray(xnp, dtype=dtype_))
         w = None
     else:

@@ -126,46 +126,80 @@ def _sdot(a, b):
             jax.lax.dot_general(a_lo, b_hi, **kw))
 
 
-def _make_stft_kernel(rows0, f1, f2, k2span, deriv):
+def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None):
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
 
-    def kernel(fs_r, xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
-               wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs):
+    def kernel(fs_r, *refs):
+        if bin_spec is None:
+            (xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
+             wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs) = refs
+        else:
+            (sfs_r, xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
+             wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs) = refs
         xre, xim = xhre_r[:], xhim_r[:]                # (rows0, f2)
         w2re, w2im = w2re_r[:], w2im_r[:]
 
-        def pipeline(Pre, Pim, out_re_r, out_im_r, scale):
-            for h in range(nh):
-                sl = slice(h * hk1, (h + 1) * hk1)
-                wre, wim = wre_r[sl], wim_r[sl]
-                Are = _sdot(wre, Pre) - _sdot(wim, Pim)
-                Aim = _sdot(wre, Pim) + _sdot(wim, Pre)
-                tre, tim = tre_r[sl], tim_r[sl]
-                Atre = Are * tre - Aim * tim
-                Atim = Are * tim + Aim * tre
-                Ere = _sdot(Atre, w2re) - _sdot(Atim, w2im)
-                out_re_r[0, :, sl] = Ere.T * scale
-                Eim = _sdot(Atre, w2im) + _sdot(Atim, w2re)
-                out_im_r[0, :, sl] = Eim.T * scale
+        def half(Pre, Pim, scale, h):
+            sl = slice(h * hk1, (h + 1) * hk1)
+            wre, wim = wre_r[sl], wim_r[sl]
+            Are = _sdot(wre, Pre) - _sdot(wim, Pim)
+            Aim = _sdot(wre, Pim) + _sdot(wim, Pre)
+            tre, tim = tre_r[sl], tim_r[sl]
+            Atre = Are * tre - Aim * tim
+            Atim = Are * tim + Aim * tre
+            Ere = _sdot(Atre, w2re) - _sdot(Atim, w2im)
+            Eim = _sdot(Atre, w2im) + _sdot(Atim, w2re)
+            return Ere.T * scale, Eim.T * scale, sl
 
         hre, him = hre_r[0], him_r[0]                  # (rows0, f2)
         Pre = hre * xre - him * xim
         Pim = hre * xim + him * xre
-        pipeline(Pre, Pim, outs[0], outs[1], 1.0)
-        if deriv:
+        if bin_spec is None:
+            for h in range(nh):
+                Sre, Sim, sl = half(Pre, Pim, 1.0, h)
+                outs[0][0, :, sl] = Sre
+                outs[1][0, :, sl] = Sim
+            if deriv:
+                hdre, hdim = hdre_r[0], hdim_r[0]
+                Dp_re = hdre * xre - hdim * xim
+                Dp_im = hdre * xim + hdim * xre
+                for h in range(nh):
+                    Dre, Dim, sl = half(Dp_re, Dp_im, fs_r[0, 0], h)
+                    outs[2][0, :, sl] = Dre
+                    outs[3][0, :, sl] = Dim
+        else:
+            # bin-output variant: the window-derivative rows never leave
+            # VMEM — the phase transform + bin map run on the freshly
+            # computed half blocks (with the row's Sfs offset) and only
+            # the int32 bin plane is written (-1 = gamma-gated)
+            from .ssq_pallas import _phase_bin_math
+            params, gamma, flipud, mode = bin_spec
+            i = pl.program_id(0)
+            sfs = sfs_r[i, 0]
             hdre, hdim = hdre_r[0], hdim_r[0]
-            Pre = hdre * xre - hdim * xim
-            Pim = hdre * xim + hdim * xre
-            pipeline(Pre, Pim, outs[2], outs[3], fs_r[0, 0])
+            Dp_re = hdre * xre - hdim * xim
+            Dp_im = hdre * xim + hdim * xre
+            for h in range(nh):
+                Sre, Sim, sl = half(Pre, Pim, 1.0, h)
+                outs[0][0, :, sl] = Sre
+                outs[1][0, :, sl] = Sim
+                Dre, Dim, _ = half(Dp_re, Dp_im, fs_r[0, 0], h)
+                k, valid = _phase_bin_math(Sre, Sim, Dre, Dim,
+                                           dict(params), gamma, flipud,
+                                           mode, sfs=sfs)
+                outs[2][0, :, sl] = jnp.where(valid, k, -1)
 
     return kernel
 
 
 @functools.lru_cache(maxsize=8)
 def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
-                     padlength, interpret=False):
-    """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx])."""
+                     padlength, interpret=False, bin_spec=None,
+                     sfs_key=None):
+    """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx]) —
+    or (Sx, k) when `bin_spec` is set (phase+bin map fused in-kernel;
+    `sfs_key` is the per-row Sfs tuple)."""
     from .pad import padsignal
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     f1, f2 = _factorize(Np2)
@@ -197,45 +231,78 @@ def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
                            memory_space=pltpu.VMEM)
         in_specs = [
             pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.SMEM)]
+        args = [fs.reshape(1, 1).astype(dt_s)]
+        if bin_spec is not None:
+            in_specs.append(pl.BlockSpec((n_rows, 1), lambda i: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(jnp.asarray(np.asarray(sfs_key, dt_s)
+                                    .reshape(n_rows, 1)))
+        in_specs += [
             const((rows0, f2)), const((rows0, f2)),
             row, row, row, row,
             const((f1, rows0)), const((f1, rows0)),
             const((f1, f2)), const((f1, f2)),
             const((f2, k2span)), const((f2, k2span)),
         ]
-        n_out = 4 if derivative else 2
+        if bin_spec is not None:
+            out_dts = (dt_s, dt_s, 'int32')
+        elif derivative:
+            out_dts = (dt_s,) * 4
+        else:
+            out_dts = (dt_s,) * 2
         out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative)
-        args = [fs.reshape(1, 1).astype(dt_s),
-                xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
-                Hre.reshape(n_rows, rows0, f2),
-                Him.reshape(n_rows, rows0, f2),
-                Hdre.reshape(n_rows, rows0, f2) if derivative else
-                Hre.reshape(n_rows, rows0, f2),
-                Hdim.reshape(n_rows, rows0, f2) if derivative else
-                Him.reshape(n_rows, rows0, f2),
-                jnp.asarray(wre), jnp.asarray(wim),
-                jnp.asarray(tre), jnp.asarray(tim),
-                jnp.asarray(w2re), jnp.asarray(w2im)]
+        kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative,
+                                   bin_spec=bin_spec)
+        args += [xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
+                 Hre.reshape(n_rows, rows0, f2),
+                 Him.reshape(n_rows, rows0, f2),
+                 Hdre.reshape(n_rows, rows0, f2) if derivative else
+                 Hre.reshape(n_rows, rows0, f2),
+                 Hdim.reshape(n_rows, rows0, f2) if derivative else
+                 Him.reshape(n_rows, rows0, f2),
+                 jnp.asarray(wre), jnp.asarray(wim),
+                 jnp.asarray(tre), jnp.asarray(tim),
+                 jnp.asarray(w2re), jnp.asarray(w2im)]
         outs = pl.pallas_call(
             kernel,
             grid=(n_rows,),
             in_specs=in_specs,
-            out_specs=(out_spec,) * n_out,
-            out_shape=(jax.ShapeDtypeStruct((n_rows, k2span, f1),
-                                            dt_s),) * n_out,
+            out_specs=(out_spec,) * len(out_dts),
+            out_shape=tuple(jax.ShapeDtypeStruct((n_rows, k2span, f1),
+                                                 od) for od in out_dts),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(*args)
         outs = tuple(o.reshape(n_rows, out_w)[:, :N_out] for o in outs)
         Sx = Complex(outs[0], outs[1])
+        if bin_spec is not None:
+            return Sx, outs[2]
         if derivative:
             return Sx, Complex(outs[2], outs[3])
         return Sx, None
     return jax.jit(run)
+
+
+def stft_conv_bins(xj, fs, n_fft, N_out, win_key, modulated, padtype,
+                   padlength, dtype, params, gamma, flipud, sfs_key,
+                   tables, interpret=False):
+    """Convolution-form STFT with the phase transform + bin map fused
+    in-kernel: returns (Sx, k) where `k` is the int32 reassignment bin
+    plane (-1 = gamma-gated). The window-derivative rows never leave
+    VMEM. `tables` must be the `_device_filterbank(...)` tuple (passed
+    as jit arguments — see `stft_conv`); `sfs_key` the per-row Sfs
+    tuple."""
+    Np2 = _next_fft_len(padlength)
+    bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
+                params['mode'])
+    runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
+                              int(N_out), True, padtype, int(padlength),
+                              bool(interpret), bin_spec, tuple(sfs_key))
+    Hre, Him, Hdre, Hdim = tables
+    return runner(xj, np.asarray(fs, str(dtype)), Hre, Him, Hdre, Hdim)
 
 
 def _stft_pallas_applicable(Np2, shape):

@@ -626,3 +626,35 @@ def test_ssq_cwt_bins_path_end_to_end():
     r_p = stq.issq_cwt(Tx_p)
     r_x = stq.issq_cwt(Tx_x)
     assert np.abs(np.asarray(r_p) - np.asarray(r_x)).max() < 1e-4
+
+
+def test_ssq_stft_bins_path_end_to_end():
+    """Full public ssq_stft through the conv-STFT bins path (kernel emits
+    k; scatter_kv consumes it) in interpret mode vs the XLA path."""
+    import ssqueezepy_tpu as stq
+    from ssqueezepy_tpu.configs import configure, reset_config
+    from ssqueezepy_tpu.models import ssq_stft as mod
+
+    from ssqueezepy_tpu.ops.stft_conv import (_stft_pallas_applicable,
+                                              _next_fft_len)
+    N, n_fft = 7681, 512         # padlength 8192 = 64 x 128: pallas-able
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(N).astype(np.float32)
+
+    out_x = stq.ssq_stft(x, n_fft=n_fft)
+    try:
+        configure(pallas_interpret=True, backend='tpu')
+        assert _stft_pallas_applicable(_next_fft_len(N + n_fft - 1),
+                                       (N,))   # the bins path engages
+        mod._ssq_stft_fast_jit.cache_clear()
+        out_p = stq.ssq_stft(x, n_fft=n_fft)
+    finally:
+        reset_config()
+        mod._ssq_stft_fast_jit.cache_clear()
+
+    Tx_x, Sx_x = np.asarray(out_x[0].to_numpy()), out_x[1].to_numpy()
+    Tx_p, Sx_p = np.asarray(out_p[0].to_numpy()), out_p[1].to_numpy()
+    m = np.abs(Sx_x).max()
+    assert np.abs(Sx_p - Sx_x).max() / m < 1e-4
+    cs = np.abs(Tx_p.sum(0) - Tx_x.sum(0)).max()
+    assert cs < 1e-4 * max(np.abs(Tx_x).max(), 1e-9), cs
