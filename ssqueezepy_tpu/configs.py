@@ -47,6 +47,11 @@ class Config:
     # run Pallas kernels in interpreter mode (CI: exercises the exact TPU
     # dispatch wiring on CPU; see tests/test_ssq_pallas.py)
     pallas_interpret: bool = False
+    # single-pass bf16 derivative pipeline for reassignment-only dWx
+    # (ssq_cwt with get_dWx=False): ~2x stage-1 speedup at a +-1 ssq-bin
+    # placement tolerance. Set False to force full-precision bins even
+    # when dWx is not returned.
+    ssq_lowprec_deriv: bool = True
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -66,6 +71,9 @@ def _from_env(cfg):
     pallas = os.environ.get('SSQTPU_PALLAS')
     if pallas is not None and pallas != '':
         cfg.use_pallas = pallas not in ('0', 'false', 'False')
+    lp = os.environ.get('SSQTPU_LOWPREC_DERIV')
+    if lp is not None and lp != '':
+        cfg.ssq_lowprec_deriv = lp not in ('0', 'false', 'False')
     return cfg
 
 

@@ -91,11 +91,20 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         Wx, dWx = cwt_core(xp_pad, wavelet, scales_j, dt, True, l1_norm,
                            n1, N, rpadded=False, is_2d=is_2d,
                            deriv_lowprec=deriv_lowprec, klims=klims)
-        Wx_s = _apply_squeezing(Wx, squeezing)
-        Tx = ssqueeze_fast(Wx_s, dWx, None, const,
-                           logscale=params['mode'] != 'lin',
-                           flipud=flipud, gamma=gamma, Sfs=None,
-                           params=params, natural_bins=natural_bins)
+        if squeezing in (None, 'sum'):
+            Tx = ssqueeze_fast(Wx, dWx, None, const,
+                               logscale=params['mode'] != 'lin',
+                               flipud=flipud, gamma=gamma, Sfs=None,
+                               params=params, natural_bins=natural_bins)
+        else:
+            # phase/bins from RAW Wx; squeeze only the scattered values
+            # (the bins kernel does the same — ADVICE r2)
+            w = phase_cwt(Wx, dWx, 'trig', gamma)
+            Wx_s = _apply_squeezing(Wx, squeezing)
+            Tx = indexed_sum_onfly(Wx_s, w, None, const,
+                                   logscale=params['mode'] != 'lin',
+                                   flipud=flipud, params=params,
+                                   natural_bins=natural_bins)
         return Tx, Wx, dWx
     return jax.jit(run)
 
@@ -248,7 +257,7 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
 
     from .cwt import resolve_wavelet
     wavelet = resolve_wavelet(wavelet, l1_norm=True, N=N)
-    from ..configs import device_dtype
+    from ..configs import device_dtype, get_config
     dtype = device_dtype(wavelet.dtype)
 
     # gamma default: 10 * machine epsilon (reference _ssq_cwt.py:266-267)
@@ -268,9 +277,11 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         wavelet, N, scales, nv, ssq_freqs, maprange, was_padded, dt,
         flipud)
 
-    # higher-order / explicit-w paths take the compositional (slower) route
+    # higher-order / explicit-w / callable-squeezing paths take the
+    # compositional (slower) route
     if (isinstance(order, (tuple, list, range)) or order > 0 or get_w or
-            difftype != 'trig'):
+            difftype != 'trig' or
+            not (squeezing is None or isinstance(squeezing, str))):
         return _ssq_cwt_compositional(
             xnp, wavelet, scales_np, cwt_scaletype, nv_, fs_, dt, ssq_freqs,
             padtype, squeezing, maprange, difftype, difforder, gamma,
@@ -293,8 +304,10 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
         (wavelet,), str(np.asarray(const).shape), padtype,
         # dWx feeds only the reassignment bin index unless the caller
         # asked for it back: run its IFFT pipeline in single-pass bf16
-        # (see ops/cwt_pallas._dot_lo; +-1-bin criterion)
-        deriv_lowprec=not get_dWx,
+        # (see ops/cwt_pallas._dot_lo; +-1-bin criterion); opt out via
+        # configure(ssq_lowprec_deriv=False)
+        deriv_lowprec=(not get_dWx and
+                       get_config().ssq_lowprec_deriv),
         # per-scale stage-1 support pruning (exact at f32)
         klims=support_klims(wavelet, scales_np, n_up))
     scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
@@ -353,13 +366,14 @@ def _ssq_cwt_compositional(xnp, wavelet, scales_np, cwt_scaletype, nv, fs,
     else:
         _dWx = dWx
 
-    Wx_s = _apply_squeezing(Wx, squeezing if isinstance(squeezing, str)
-                            else squeezing)
-    if w is None:
+    Wx_s = _apply_squeezing(Wx, squeezing)
+    if w is None and (squeezing is None or squeezing == 'sum'):
         Tx = ssqueeze_fast(Wx_s, _dWx, None, const, logscale, flipud,
                            gamma, params=params, natural_bins=natural)
     else:
-        Tx = indexed_sum_onfly(Wx_s, w, None, const, logscale, flipud,
+        # non-'sum' squeezing: bins must come from the RAW transform
+        w_bins = w if w is not None else phase_cwt(Wx, _dWx, 'trig', gamma)
+        Tx = indexed_sum_onfly(Wx_s, w_bins, None, const, logscale, flipud,
                                params=params, natural_bins=natural)
 
     if difftype == 'numeric':
@@ -390,18 +404,15 @@ def issq_cwt(Tx, wavelet='gmw', cc=None, cw=None):
     Reference _ssq_cwt.py:313-417."""
     cc, cw, full_inverse = _process_component_inversion_args(cc, cw)
 
-    if isinstance(Tx, Complex) and full_inverse:
-        # device-side reduction: fetch only the (N,) result, not the full
-        # (na, N) transform (host transfers dominate otherwise)
-        x = np.asarray(jax.jit(lambda t: t.sum(axis=-2))(Tx.re))
-    else:
+    if full_inverse:
         if isinstance(Tx, Complex):
-            Tx = Tx.to_numpy()
-        Tx = np.asarray(Tx)
-        if full_inverse:
-            x = Tx.real.sum(axis=-2)
+            # device-side reduction: fetch only the (N,) result, not the
+            # full (na, N) transform (host transfers dominate otherwise)
+            x = np.asarray(jax.jit(lambda t: t.sum(axis=-2))(Tx.re))
         else:
-            x = _invert_components(Tx, cc, cw)
+            x = np.asarray(Tx).real.sum(axis=-2)
+    else:
+        x = _invert_components(Tx, cc, cw)
 
     wavelet = Wavelet._init_if_not_isinstance(wavelet)
     Css = adm_ssq(wavelet)
@@ -409,25 +420,48 @@ def issq_cwt(Tx, wavelet='gmw', cc=None, cw=None):
 
 
 def _invert_components(Tx, cc, cw):
-    """Masked inversion around per-time curve centers cc +- widths cw;
-    last row of output = residual (reference _ssq_cwt.py:381-403)."""
-    x = np.zeros((cc.shape[1] + 1, cc.shape[0]))
-    TxRemainder = Tx.copy()
+    """Masked per-component inversion: component `n` collects the rows in
+    the band ``[cc[:, n] - cw[:, n], cc[:, n] + cw[:, n]]`` at each time
+    step (``cc == -1`` marks no-curve columns, which contribute nothing);
+    the final output row is the residual — everything no component's band
+    touched. Matches reference semantics (_ssq_cwt.py:381-403) as ONE
+    device reduction per call: band membership is a broadcast row-range
+    compare (the ridge-extraction mask pattern), so only the
+    (n_components + 1, N) result crosses the host boundary.
+    """
+    if isinstance(Tx, Complex):
+        # device-resident input: one jit, only the result crosses to host
+        na = Tx.shape[0]
 
+        @jax.jit
+        def run(Txr, cc, cw):
+            rows = jnp.arange(na).reshape(1, na, 1)        # (1, na, 1)
+            hi = jnp.clip(cc + cw, 0, na).T[:, None, :]    # (nc, 1, N)
+            lo = jnp.clip(cc - cw, 0, na).T[:, None, :]
+            miss = (cc == -1).T[:, None, :]
+            band = (rows >= lo) & (rows <= hi) & ~miss     # (nc, na, N)
+            comps = jnp.sum(Txr[None] * band, axis=1)      # (nc, N)
+            resid = jnp.sum(Txr * ~jnp.any(band, axis=0), axis=0)
+            return jnp.concatenate([comps, resid[None]], axis=0)
+
+        return np.asarray(run(Tx.re, jnp.asarray(cc, jnp.int32),
+                              jnp.asarray(cw, jnp.int32)))
+
+    # numpy input: stay on host (a device round-trip of the full plane
+    # costs more than the reduction); one broadcast band per component
+    Txr = np.asarray(Tx).real
+    na, N = Txr.shape
+    rows = np.arange(na).reshape(na, 1)
+    out = np.zeros((cc.shape[1] + 1, N), Txr.dtype)
+    covered = np.zeros((na, N), bool)
     for n in range(cc.shape[1]):
-        TxMask = np.zeros(Tx.shape, dtype=Tx.dtype)
-        upper_cc = np.clip(cc[:, n] + cw[:, n], 0, len(Tx))
-        lower_cc = np.clip(cc[:, n] - cw[:, n], 0, len(Tx))
-        upper_cc[np.where(cc[:, n] == -1)] = 0
-        lower_cc[np.where(cc[:, n] == -1)] = 1
-        for m in range(Tx.shape[1]):
-            idxs = slice(lower_cc[m], upper_cc[m] + 1)
-            TxMask[idxs, m] = Tx[idxs, m]
-            TxRemainder[idxs, m] = 0
-        x[n] = TxMask.real.sum(axis=0).T
-
-    x[-1] = TxRemainder.real.sum(axis=0).T
-    return x
+        hi = np.clip(cc[:, n] + cw[:, n], 0, na)
+        lo = np.clip(cc[:, n] - cw[:, n], 0, na)
+        band = (rows >= lo) & (rows <= hi) & (cc[:, n] != -1)
+        out[n] = np.einsum('rt,rt->t', Txr, band.astype(Txr.dtype))
+        covered |= band
+    out[-1] = np.where(covered, 0, Txr).sum(axis=0)
+    return out
 
 
 def _process_component_inversion_args(cc, cw):

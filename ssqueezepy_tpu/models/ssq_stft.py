@@ -106,10 +106,19 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
             from .cwt import _device_scalar
             Sx, dSx = framed_runner(xj, _device_scalar(fs_val, dtype))
         Sfs_j = jnp.asarray(Sfs_np)
-        Sx_s = _apply_squeezing(Sx, squeezing)
-        Tx = ssqueeze_fast(Sx_s, dSx, None, const, logscale=False,
-                           flipud=flipud, gamma=gamma, Sfs=Sfs_j,
-                           params=params, natural_bins=natural)
+        if squeezing in (None, 'sum'):
+            Tx = ssqueeze_fast(Sx, dSx, None, const, logscale=False,
+                               flipud=flipud, gamma=gamma, Sfs=Sfs_j,
+                               params=params, natural_bins=natural)
+        else:
+            # phase transform from RAW Sx (w = |Sfs - Im(dSx/Sx)/2pi|);
+            # only the scattered values are squeezed — mirrors the bins
+            # kernel and the reference (algos.py ssq_stft kernels)
+            w = phase_stft(Sx, dSx, Sfs_j, gamma)
+            Sx_s = _apply_squeezing(Sx, squeezing)
+            Tx = indexed_sum_onfly(Sx_s, w, None, const, logscale=False,
+                                   flipud=flipud, params=params,
+                                   natural_bins=natural)
         return Tx, Sx, dSx
 
     jitted = jax.jit(run)
@@ -168,7 +177,9 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
                             n_rows, 1. / fs_)
     padlength = N + n_fft_ - 1
 
-    if not get_w:
+    # callable `squeezing` can't key the jit cache — take the eager path,
+    # which applies the user function between phase and scatter
+    if not get_w and (squeezing is None or isinstance(squeezing, str)):
         # fused fast path: one cached jit for the whole forward
         runner = _ssq_stft_fast_jit(
             xnp.shape, dtype_, n_fft_, int(hop_len), bool(modulated),

@@ -26,77 +26,74 @@ __all__ = ['ssqueeze']
 def _compute_associated_frequencies(scales, N, wavelet, ssq_scaletype,
                                     maprange, was_padded=True, dt=1,
                                     transform='cwt'):
-    """ssq frequency grid (reference ssqueezing.py:247-291)."""
-    fm, fM = _ssq_freqrange(maprange, dt, N, wavelet, scales, was_padded)
+    """Frequency grid the reassigned energy lands on — one entry per
+    scale row, spaced per `ssq_scaletype`, endpoints per `maprange`.
+    Behavioral parity with reference ssqueezing.py:247-291.
+
+    'log' rides a single exponential ramp between the endpoints;
+    'log-piecewise' joins two ramps at the scale-downsampling transition
+    (the knee frequency is the wavelet's center frequency at the
+    transition scale, so bin spacing tracks the actual voice density on
+    each side); 'linear' is an even grid.
+    """
+    lo, hi = _freq_endpoints(maprange, dt, N, wavelet, scales, was_padded)
     na = len(scales)
+    pos = np.arange(na) / (na - 1)        # output-grid coordinate in [0,1]
 
-    if ssq_scaletype == 'log':
-        ssq_freqs = fm * np.power(fM / fm, np.arange(na) / (na - 1))
-    elif ssq_scaletype == 'log-piecewise':
-        idx = logscale_transition_idx(scales)
-        if idx is None:
-            ssq_freqs = fm * np.power(fM / fm, np.arange(na) / (na - 1))
-        else:
-            f0, f2 = fm, fM
-            f1 = _get_center_frequency(wavelet, N, maprange, dt,
-                                       scales[idx], was_padded)
-            t1 = np.arange(0, na - idx - 1) / (na - 1)
-            t2 = np.arange(na - idx - 1, na) / (na - 1)
-            t1 = np.hstack([t1, t2[0]])
+    if ssq_scaletype == 'log-piecewise':
+        cut = logscale_transition_idx(scales)
+        if cut is not None:
+            knee = _center_freq_hz(wavelet, N, maprange, dt, scales[cut],
+                                   was_padded)
+            j = na - cut - 1              # knee position in the grid
+            seg_lo = lo * (knee / lo) ** (pos[:j] / pos[j])
+            seg_hi = knee * (hi / knee) ** ((pos[j:] - pos[j])
+                                            / (1 - pos[j]))
+            grid = np.hstack([seg_lo, seg_hi])
+            found = logscale_transition_idx(grid.reshape(-1, 1))
+            if found is None or (na - found) != cut:
+                raise AssertionError(
+                    "piecewise ssq grid knee landed at %s, expected %s "
+                    "(scale transition %d)" % (found, na - cut, cut))
+            return grid
+        ssq_scaletype = 'log'             # no transition -> plain ramp
 
-            sqf1 = _exp_fm(t1, f0, f1)[:-1]
-            sqf2 = _exp_fm(t2, f1, f2)
-            ssq_freqs = np.hstack([sqf1, sqf2])
-
-            ssq_idx = logscale_transition_idx(ssq_freqs.reshape(-1, 1))
-            if ssq_idx is None:
-                raise Exception("couldn't find logscale transition index of "
-                                "generated `ssq_freqs`")
-            assert (na - ssq_idx) == idx, \
-                "{} != {}".format(na - ssq_idx, idx)
-    else:
-        if transform == 'cwt':
-            ssq_freqs = np.linspace(fm, fM, na)
-        else:
-            ssq_freqs = np.linspace(0, .5, na) / dt
-    return ssq_freqs
+    if ssq_scaletype.startswith('log'):
+        return lo * (hi / lo) ** pos
+    if transform == 'cwt':
+        return np.linspace(lo, hi, na)
+    return np.linspace(0, .5, na) / dt
 
 
-def _exp_fm(t, fmin, fmax):
-    """Exponential frequency map through (tmin,fmin),(tmax,fmax);
-    reference ssqueezing.py:294-298."""
-    tmin, tmax = t.min(), t.max()
-    a = (fmin ** tmax / fmax ** tmin) ** (1 / (tmax - tmin))
-    b = fmax ** (1 / tmax) * (1 / a) ** (1 / tmax)
-    return a * b ** t
+def _freq_endpoints(maprange, dt, N, wavelet, scales, was_padded):
+    """(lowest, highest) grid frequency in cycles per unit time.
 
-
-def _ssq_freqrange(maprange, dt, N, wavelet, scales, was_padded):
-    """(fm, fM) from maprange (reference ssqueezing.py:228-244)."""
+    Tuple maprange passes through; 'maximal' spans one-cycle-per-record
+    to Nyquist; 'peak'/'energy' anchor on the wavelet's center frequency
+    at the largest/smallest scale (reference ssqueezing.py:228-244).
+    """
     if isinstance(maprange, (tuple, list)):
-        fm, fM = maprange
-    elif maprange == 'maximal':
-        dT = dt * N
-        fm = 1 / dT
-        fM = 1 / (2 * dt)
-    elif maprange in ('peak', 'energy'):
-        kw = dict(wavelet=wavelet, N=N, maprange=maprange, dt=dt,
-                  was_padded=was_padded)
-        fm = _get_center_frequency(**kw, scale=scales[-1])
-        fM = _get_center_frequency(**kw, scale=scales[0])
-    return fm, fM
+        return maprange[0], maprange[1]
+    if maprange == 'maximal':
+        return 1 / (N * dt), 1 / (2 * dt)
+    return (_center_freq_hz(wavelet, N, maprange, dt, scales[-1],
+                            was_padded),
+            _center_freq_hz(wavelet, N, maprange, dt, scales[0],
+                            was_padded))
 
 
-def _get_center_frequency(wavelet, N, maprange, dt, scale, was_padded):
+def _center_freq_hz(wavelet, N, kind, dt, scale, was_padded):
+    """Wavelet center frequency at `scale`, converted rad/sample -> Hz.
+    Padded transforms measure it at the padded length (the CWT itself ran
+    there)."""
     from .wavelets import center_frequency
-    if was_padded:
-        N = p2up(N)[0]
-    kw = dict(wavelet=wavelet, N=N, scale=float(np.asarray(scale).squeeze()),
-              kind=maprange)
-    if maprange == 'energy':
-        kw['force_int'] = True
-    wc = center_frequency(**kw)
-    return wc / (2 * pi) / dt
+    n_eff = p2up(N)[0] if was_padded else N
+    w_peak = center_frequency(wavelet, N=n_eff,
+                              scale=float(np.asarray(scale).squeeze()),
+                              kind=kind,
+                              **(dict(force_int=True) if kind == 'energy'
+                                 else {}))
+    return w_peak / (2 * pi) / dt
 
 
 def _check_ssqueezing_args(squeezing, maprange=None, wavelet=None,
@@ -223,11 +220,20 @@ def ssqueeze(Wx, w=None, ssq_freqs=None, scales=None, Sfs=None, fs=None,
     natural_bins = _natural_bins(transform, scales, ssq_freqs, params,
                                  flipud, Wx.shape[-2], dt)
 
-    if w is None:
-        Tx = ssqueeze_fast(Wx_s, dWx, ssq_freqs, const, logscale, flipud,
+    if w is None and Wx_s is Wx:
+        Tx = ssqueeze_fast(Wx, dWx, ssq_freqs, const, logscale, flipud,
                            gamma, Sfs=Sfs if transform == 'stft' else None,
                            params=params, natural_bins=natural_bins)
     else:
+        # non-'sum' squeezing: the phase transform must see the RAW Wx
+        # (squeezed planes carry no usable phase); only scattered values
+        # are squeezed
+        if w is None:
+            from ..ops.phase import phase_transform_w
+            w = phase_transform_w(
+                Wx, dWx, gamma,
+                Sfs=jnp.asarray(Sfs, str(Wx.dtype))
+                if transform == 'stft' and Sfs is not None else None)
         Tx = indexed_sum_onfly(Wx_s, w, ssq_freqs, const, logscale, flipud,
                                params=params, natural_bins=natural_bins)
 

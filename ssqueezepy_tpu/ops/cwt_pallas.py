@@ -111,7 +111,7 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
             if na_mod is None:
                 scale = scale_r[i * rps + j, 0]
             else:
-                scale = scale_r[jax.lax.rem(i, na_mod), 0]
+                scale = scale_r[jax.lax.rem(i, jnp.int32(na_mod)), 0]
             # xh arrives pre-masked (pad zeros + Nyquist/2 folded in)
             psih = wavelet_fn(scale * xi, xp=jnp)
             if not l1_norm:
@@ -193,7 +193,9 @@ def support_klims(wavelet, scales_np, n_up):
     except Exception:
         key = None
     if key is not None and key in _KLIM_MEMO:
-        return _KLIM_MEMO[key]
+        # memo holds a strong ref to fn so its id can't be recycled by a
+        # different wavelet after garbage collection
+        return _KLIM_MEMO[key][1]
 
     factors = _factorize(n_up)
     if len(factors) != 2:
@@ -219,7 +221,7 @@ def support_klims(wavelet, scales_np, n_up):
     klim = np.minimum(np.maximum(klim, 1), rows0).astype(int)
     out = tuple(int(v) for v in klim)
     if key is not None:
-        _KLIM_MEMO[key] = out
+        _KLIM_MEMO[key] = (wavelet.fn, out)
     return out
 
 

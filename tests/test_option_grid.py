@@ -88,6 +88,44 @@ def test_ssq_stft_flipud():
     assert np.allclose(np.abs(Tx1), np.abs(Tx2[::-1]), atol=1e-6)
 
 
+def test_ssq_stft_squeezing_phase_from_raw():
+    """Non-'sum' squeezing: the bin map must come from the RAW transform
+    (the fused fast path must equal the explicit get_w path). Regression:
+    r2 fast path squeezed BEFORE the phase transform, sending a tone's
+    ridge to Nyquist under 'lebesgue'."""
+    for squeezing in ('lebesgue', 'abs'):
+        Tx_f, *_ = stq.ssq_stft(x, n_fft=128, squeezing=squeezing,
+                                astensor=False)
+        Tx_w, *_ = stq.ssq_stft(x, n_fft=128, squeezing=squeezing,
+                                get_w=True, astensor=False)
+        assert np.allclose(Tx_f, Tx_w, atol=1e-6), squeezing
+
+
+def test_ssq_cwt_squeezing_phase_from_raw():
+    for squeezing in ('lebesgue', 'abs'):
+        Tx_f, *_ = stq.ssq_cwt(x, scales='log', nv=8, squeezing=squeezing,
+                               astensor=False)
+        Tx_w, *_ = stq.ssq_cwt(x, scales='log', nv=8, squeezing=squeezing,
+                               get_w=True, astensor=False)
+        assert np.allclose(Tx_f, Tx_w, atol=1e-6), squeezing
+
+
+def test_squeezing_callable():
+    """User-supplied squeezing functions must be applied (r2 fast path
+    silently replaced them with 'sum') and must not disturb the bin map:
+    scaling values by 2 must exactly double Tx."""
+    Tx1, *_ = stq.ssq_cwt(x, scales='log', nv=8, squeezing='sum',
+                          astensor=False)
+    Tx2, *_ = stq.ssq_cwt(x, scales='log', nv=8,
+                          squeezing=lambda W: W * 2, astensor=False)
+    assert np.allclose(Tx2, 2 * Tx1, atol=1e-6)
+
+    Sx1, *_ = stq.ssq_stft(x, n_fft=128, squeezing='sum', astensor=False)
+    Sx2, *_ = stq.ssq_stft(x, n_fft=128, squeezing=lambda W: W * 2,
+                           astensor=False)
+    assert np.allclose(Sx2, 2 * Sx1, atol=1e-6)
+
+
 def test_dtype_float64_pipeline():
     Tx, Wx, fr, sc = stq.ssq_cwt(x.astype(np.float64),
                                  ('gmw', {'dtype': 'float64'}),
