@@ -120,6 +120,57 @@ def main():
     print('fused full (scalar)  : %.4f s' % bench(f_full, xp_j, scales_j,
                                                   const_j))
 
+    # ---- bins fast path (what bench.py's ssq_cwt actually runs) ---------
+    from ssqueezepy_tpu.ops.cwt_pallas import (cwt_fused_bins_pallas,
+                                               support_klims)
+    from ssqueezepy_tpu.ops.ssq_pallas import scatter_kv_pallas
+    klims = support_klims(wavelet, scales_np, n_up)
+    natural_i32 = (np.asarray(natural, np.int32)
+                   if natural is not None else None)
+    nbins = params_d['omax'] + 1
+    half = n_up // 2 + 1
+
+    def f_rfft(xp):
+        xh = fft(Complex(xp, jnp.zeros_like(xp)), axis=-1,
+                 out_range=(0, half), imag_zero=True)
+        return xh.re.sum()
+    print('rfft (half-spec)     : %.4f s' % bench(jax.jit(f_rfft), xp_j))
+
+    def mk_xh(xp):
+        return fft(Complex(xp, jnp.zeros_like(xp)), axis=-1,
+                   out_range=(0, half), imag_zero=True)
+
+    def f_bins(xp, scales_j):
+        xh = mk_xh(xp)
+        Wx, k = cwt_fused_bins_pallas(
+            xh, scales_j, wavelet, n_up, n1, N, 1.0, True, params_d,
+            gamma, True, deriv_lowprec=True, klims=klims)
+        return Wx.re.sum() + k.sum()
+    print('rfft+cwt_bins (Wx,k) : %.4f s' % bench(jax.jit(f_bins), xp_j,
+                                                  scales_j))
+
+    Wxb, kb = jax.jit(lambda xp, s: cwt_fused_bins_pallas(
+        mk_xh(xp), s, wavelet, n_up, n1, N, 1.0, True, params_d,
+        gamma, True, deriv_lowprec=True, klims=klims))(xp_j, scales_j)
+
+    def f_kv(Wr, Wi, k, const):
+        Tx = scatter_kv_pallas(Complex(Wr, Wi), k, const, nbins,
+                               natural_bins=natural_i32)
+        return Tx.re.sum()
+    print('scatter_kv only      : %.4f s' % bench(jax.jit(f_kv), Wxb.re,
+                                                  Wxb.im, kb, const_j))
+
+    def f_bins_full(xp, scales_j, const):
+        xh = mk_xh(xp)
+        Wx, k = cwt_fused_bins_pallas(
+            xh, scales_j, wavelet, n_up, n1, N, 1.0, True, params_d,
+            gamma, True, deriv_lowprec=True, klims=klims)
+        Tx = scatter_kv_pallas(Wx, k, const, nbins,
+                               natural_bins=natural_i32)
+        return Tx.re.sum() + Wx.re.sum()
+    print('bins pipeline full   : %.4f s' % bench(jax.jit(f_bins_full),
+                                                  xp_j, scales_j, const_j))
+
 
 if __name__ == '__main__':
     main()

@@ -113,11 +113,15 @@ def _process_gmw_wavelet(wavelet, l1_norm):
 # traceable core (used by cwt and fused into ssq_cwt's single jit)
 # --------------------------------------------------------------------------
 def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
-             rpadded=False, is_2d=False, deriv_lowprec=False, klims=None):
+             rpadded=False, is_2d=False, deriv_lowprec=False, klims=None,
+             platform=None):
     """Vectorized FFT-convolution CWT over padded input.
 
     xp_pad: real (..., n_up) jnp array (padded signal)
     scales_j: (na, 1) device array
+    platform: target device platform for the Pallas gate — pass the mesh
+    devices' platform inside shard_map (the global default backend may be
+    a TPU tunnel while the mesh is virtual-CPU, and vice versa).
     Returns (Wx, dWx or None) as split-complex, unpadded unless rpadded.
     Mirrors reference `_cwt._vectorized` (_cwt.py:167-177) + unpad/norm
     (:293-311).
@@ -146,7 +150,7 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
     # inputs run with grid = (B*na,)
     if out_range is not None and analytic:
         from ..ops.ssq_kernels import _pallas_enabled
-        use_pallas, interp = _pallas_enabled()
+        use_pallas, interp = _pallas_enabled(platform)
         if use_pallas:
             from ..ops.cwt_pallas import (cwt_fused_pallas,
                                           cwt_pallas_applicable)

@@ -125,7 +125,9 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
         # step measured slower than all the vector work combined)
         vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
         dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
-        qlo = jnp.floor_divide(dmin, 8) - 1
+        # d = 8q + r with r in [0, 8) covers exactly
+        # [8*floor(dmin/8), 8*floor(dmax/8) + 7] >= [dmin, dmax]
+        qlo = jnp.floor_divide(dmin, 8)
         qhi = jnp.floor_divide(dmax, 8)
 
         def qbody(q, _, g=g):
@@ -141,6 +143,8 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
         jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
 
     # ---- tier 2: per-column outlier extraction ---------------------------
+    # two per column per iteration (the lowest and highest alive rows) —
+    # the loop bound is ceil(max-outliers-per-column / 2)
     oaccr[:] = jnp.zeros((nbins_pad, T), dt)
     oacci[:] = jnp.zeros((nbins_pad, T), dt)
     rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
@@ -150,21 +154,29 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
 
     def obody(it, om_i):
         alive = om_i != 0
-        ridx = jnp.min(jnp.where(alive, rows, _BIG), axis=0,
-                       keepdims=True)                        # (1, T)
-        sel = (rows == ridx) & alive
-        self_ = sel.astype(dt)
-        b = jnp.sum(jnp.where(sel, babs, 0), axis=0, keepdims=True)
-        vr = jnp.sum(vre * self_, axis=0, keepdims=True)
-        vi = jnp.sum(vim * self_, axis=0, keepdims=True)
-        has = ridx < _BIG                                    # (1, T)
-        m = ((biota == b) & has).astype(dt)                  # (nbins, T)
-        oaccr[:] = oaccr[:] + m * vr
-        oacci[:] = oacci[:] + m * vi
-        return om_i * (1 - sel.astype(jnp.int32))
+        rlo = jnp.min(jnp.where(alive, rows, _BIG), axis=0,
+                      keepdims=True)                         # (1, T)
+        rhi = jnp.max(jnp.where(alive, rows, -_BIG), axis=0,
+                      keepdims=True)
+        sel_lo = (rows == rlo) & alive
+        # guard rlo == rhi (a single alive outlier) against double count
+        sel_hi = (rows == rhi) & alive & (rhi != rlo)
+        flo, fhi = sel_lo.astype(dt), sel_hi.astype(dt)
+        b_lo = jnp.sum(jnp.where(sel_lo, babs, 0), axis=0, keepdims=True)
+        b_hi = jnp.sum(jnp.where(sel_hi, babs, 0), axis=0, keepdims=True)
+        vr_lo = jnp.sum(vre * flo, axis=0, keepdims=True)
+        vi_lo = jnp.sum(vim * flo, axis=0, keepdims=True)
+        vr_hi = jnp.sum(vre * fhi, axis=0, keepdims=True)
+        vi_hi = jnp.sum(vim * fhi, axis=0, keepdims=True)
+        m_lo = ((biota == b_lo) & (rlo < _BIG)).astype(dt)   # (nbins, T)
+        m_hi = ((biota == b_hi) & (rhi > -_BIG) &
+                (rhi != rlo)).astype(dt)
+        oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
+        oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
+        return om_i * (1 - (sel_lo | sel_hi).astype(jnp.int32))
 
-    om_i = jax.lax.fori_loop(0, max_cnt, obody, om.astype(jnp.int32),
-                             unroll=False)
+    om_i = jax.lax.fori_loop(0, (max_cnt + 1) // 2, obody,
+                             om.astype(jnp.int32), unroll=False)
     del om_i
 
     outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]

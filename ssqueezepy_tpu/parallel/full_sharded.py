@@ -65,8 +65,10 @@ class FullShardedSSQCWT:
 
     def __init__(self, N, wavelet='gmw', scales='log', nv=32, fs=1.,
                  halo=None, halo_mult=8.0, maprange='peak', flipud=True,
-                 gamma=None, mesh=None):
+                 gamma=None, mesh=None, deriv_lowprec=None):
         self.mesh = mesh if mesh is not None else make_mesh3()
+        # None -> follow configs.Config.ssq_lowprec_deriv
+        self.deriv_lowprec = deriv_lowprec
         ax = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         self.n_scale, self.n_time = ax['scale'], ax['time']
         assert N % self.n_time == 0, (N, self.n_time)
@@ -188,6 +190,47 @@ class FullShardedSSQCWT:
                     a, b, kk, vv, nbins, nb_hint, platform=mesh_platform)
             )(Wx.re * cst, Wx.im * cst, k, valid)
 
+        # bins fast pipeline for the interior rows (dWx VMEM-only; see
+        # parallel/sharded.py); exact rows keep the XLA formulation
+        from ..ops.ssq_kernels import _pallas_enabled
+        use_pallas, interp = _pallas_enabled(mesh_platform)
+        use_bins = False
+        if use_pallas:
+            from ..ops.cwt_pallas import cwt_pallas_applicable
+            from ..models.cwt import _is_analytic
+            n_up = self.n_up
+            if (cwt_pallas_applicable(wavelet, n_up, True) and
+                    _is_analytic(wavelet)):
+                probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+                use_bins = not isinstance(probe, tuple)
+        self.uses_bins_pipeline = use_bins
+        if use_bins:
+            from ..configs import get_config
+            from ..ops.fft import fft as _fft
+            from ..ops.cwt_pallas import cwt_fused_bins_pallas
+            from ..ops.ssq_pallas import scatter_kv_pallas
+            lowprec = (get_config().ssq_lowprec_deriv
+                       if self.deriv_lowprec is None
+                       else self.deriv_lowprec)
+            half = self.n_up // 2 + 1
+
+        def interior(xe, mid_scales, mid_const):
+            """This chip's scale block on its (extended) time chunk."""
+            if use_bins:
+                xh = _fft(Complex(xe, jnp.zeros_like(xe)), axis=-1,
+                          out_range=(0, half), imag_zero=True)
+                Wx, k = cwt_fused_bins_pallas(
+                    xh, mid_scales, wavelet, self.n_up, H, C, dt, True,
+                    params, gamma, flipud, interpret=interp,
+                    deriv_lowprec=lowprec)
+                return scatter_kv_pallas(Wx, k, mid_const, nbins,
+                                         natural_bins=nb_mid,
+                                         interpret=interp)
+            Wx, dWx = cwt_core(xe, wavelet, mid_scales, dt, True, True,
+                               n1=H, N=C, rpadded=False, is_2d=True,
+                               platform=mesh_platform)
+            return reassign(Wx, dWx, mid_const, nb_mid)
+
         def per_shard(xc, mid_scales, mid_const, ex_scales, ex_const):
             # xc: (B_local, C). Halo exchange along 'time' (ring).
             i = jax.lax.axis_index('time')
@@ -203,9 +246,7 @@ class FullShardedSSQCWT:
                     [xe, _reflect(xe, pad_extra, False)], axis=-1)
 
             # interior rows: this chip's scale block on its time chunk
-            Wx, dWx = cwt_core(xe, wavelet, mid_scales, dt, True, True,
-                               n1=H, N=C, rpadded=False, is_2d=True)
-            Tx = reassign(Wx, dWx, mid_const, nb_mid)
+            Tx = interior(xe, mid_scales, mid_const)
 
             if n_exact:
                 # exact rows: global convolution, replicated over 'scale'
@@ -214,7 +255,8 @@ class FullShardedSSQCWT:
                 xgp = padsignal(xg, 'reflect')
                 Wg, dWg = cwt_core(xgp, wavelet, ex_scales, dt, True,
                                    True, n1=g_n1, N=xg.shape[-1],
-                                   rpadded=False, is_2d=True)
+                                   rpadded=False, is_2d=True,
+                                   platform=mesh_platform)
                 sl = (lambda a: jax.lax.dynamic_slice_in_dim(
                     a, i * C, C, axis=-1))
                 Tg = reassign(Complex(sl(Wg.re), sl(Wg.im)),

@@ -66,8 +66,11 @@ class ShardedSSQCWT:
 
     def __init__(self, N, wavelet='gmw', scales='log-piecewise', nv=32,
                  fs=1., padtype='reflect', maprange='peak', flipud=True,
-                 gamma=None, mesh=None, derivative_out=False):
+                 gamma=None, mesh=None, derivative_out=False,
+                 deriv_lowprec=None):
         self.mesh = mesh if mesh is not None else make_mesh()
+        # None -> follow configs.Config.ssq_lowprec_deriv
+        self.deriv_lowprec = deriv_lowprec
         self.N = int(N)
         wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
         self.wavelet = Wavelet._init_if_not_isinstance(wavelet, N=N)
@@ -130,27 +133,72 @@ class ShardedSSQCWT:
         # backend may be a TPU tunnel while this mesh is virtual-CPU)
         mesh_platform = self.mesh.devices.flat[0].platform
 
-        def per_shard(xp_pad, scales_blk, const_blk):
-            # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
-            Wx, dWx = cwt_core(xp_pad, wavelet, scales_blk, dt,
-                               derivative=True, l1_norm=True, n1=n1, N=N,
-                               rpadded=False, is_2d=True)
-            # fused phase + bin + local scatter over full bin space
-            w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
-            valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
-            w = jnp.where(valid, w, jnp.inf)
-            k, kvalid = compute_bins(w, params, flipud)
-            valid = valid & kvalid
-            c = const_blk.reshape(1, -1, 1)
-            vre, vim = Wx.re * c, Wx.im * c
-            Tx_part = jax.vmap(
-                lambda a, b, kk, vv: _dispatch_scatter(
-                    a, b, kk, vv, nbins, nb_local, platform=mesh_platform)
-            )(vre, vim, k, valid)
-            # the one cross-chip reduction: bin accumulation over scales
-            Tx_re = jax.lax.psum(Tx_part.re, 'scale')
-            Tx_im = jax.lax.psum(Tx_part.im, 'scale')
-            return Tx_re, Tx_im, Wx.re, Wx.im
+        # bins fast pipeline (same as single-chip models/ssq_cwt.py): the
+        # fused CWT kernel emits (Wx, k) with the derivative planes never
+        # leaving VMEM; the k-consuming scatter completes the per-shard
+        # reassignment. Falls back to the XLA phase/bin formulation when
+        # the kernel doesn't cover the configuration.
+        from ..ops.ssq_kernels import _pallas_enabled
+        use_pallas, interp = _pallas_enabled(mesh_platform)
+        use_bins = False
+        if use_pallas and self.padtype is not None:
+            from ..ops.cwt_pallas import cwt_pallas_applicable
+            from ..models.cwt import _is_analytic
+            if (cwt_pallas_applicable(wavelet, n_up, True) and
+                    _is_analytic(wavelet)):
+                probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+                use_bins = not isinstance(probe, tuple)
+        self.uses_bins_pipeline = use_bins
+
+        if use_bins:
+            from ..configs import get_config
+            from ..ops.fft import fft
+            from ..ops.cwt_pallas import cwt_fused_bins_pallas
+            from ..ops.ssq_pallas import scatter_kv_pallas
+            lowprec = (get_config().ssq_lowprec_deriv
+                       if self.deriv_lowprec is None
+                       else self.deriv_lowprec)
+            half = n_up // 2 + 1
+
+            def per_shard(xp_pad, scales_blk, const_blk):
+                # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
+                xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)),
+                         axis=-1, out_range=(0, half), imag_zero=True)
+                Wx, k = cwt_fused_bins_pallas(
+                    xh, scales_blk, wavelet, n_up, n1, N, dt, True,
+                    params, gamma, flipud, interpret=interp,
+                    deriv_lowprec=lowprec)
+                Tx_part = scatter_kv_pallas(Wx, k, const_blk, nbins,
+                                            natural_bins=nb_local,
+                                            interpret=interp)
+                Tx_re = jax.lax.psum(Tx_part.re, 'scale')
+                Tx_im = jax.lax.psum(Tx_part.im, 'scale')
+                return Tx_re, Tx_im, Wx.re, Wx.im
+        else:
+            def per_shard(xp_pad, scales_blk, const_blk):
+                # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
+                Wx, dWx = cwt_core(xp_pad, wavelet, scales_blk, dt,
+                                   derivative=True, l1_norm=True, n1=n1,
+                                   N=N, rpadded=False, is_2d=True,
+                                   platform=mesh_platform)
+                # fused phase + bin + local scatter over full bin space
+                w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
+                valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
+                w = jnp.where(valid, w, jnp.inf)
+                k, kvalid = compute_bins(w, params, flipud)
+                valid = valid & kvalid
+                c = const_blk.reshape(1, -1, 1)
+                vre, vim = Wx.re * c, Wx.im * c
+                Tx_part = jax.vmap(
+                    lambda a, b, kk, vv: _dispatch_scatter(
+                        a, b, kk, vv, nbins, nb_local,
+                        platform=mesh_platform)
+                )(vre, vim, k, valid)
+                # the one cross-chip reduction: bin accumulation over
+                # scales
+                Tx_re = jax.lax.psum(Tx_part.re, 'scale')
+                Tx_im = jax.lax.psum(Tx_part.im, 'scale')
+                return Tx_re, Tx_im, Wx.re, Wx.im
 
         fn = shard_map(
             per_shard, mesh=mesh,

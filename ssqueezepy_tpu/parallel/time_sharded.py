@@ -72,9 +72,12 @@ class TimeShardedSSQCWT:
 
     def __init__(self, N, wavelet='gmw', scales='log', nv=32, fs=1.,
                  halo=None, halo_mult=8.0, maprange='peak', flipud=True,
-                 gamma=None, mesh=None, derivative=True):
+                 gamma=None, mesh=None, derivative=True,
+                 deriv_lowprec=None):
         if mesh is None:
             mesh = make_mesh_time()
+        # None -> follow configs.Config.ssq_lowprec_deriv
+        self.deriv_lowprec = deriv_lowprec
         self.mesh = mesh
         self.n_time = dict(zip(mesh.axis_names,
                                mesh.devices.shape))['time']
@@ -185,10 +188,9 @@ class TimeShardedSSQCWT:
         # dispatch on the MESH devices' platform (see parallel/sharded.py)
         mesh_platform = mesh.devices.flat[0].platform
 
-        def per_shard(xc, scales_blk, const_blk):
-            # xc: (B_local, C) — this chip's chunk
-            i = jax.lax.axis_index('time')
-            # ring halo exchange (the only collective in the pass)
+        def extend(xc, i):
+            """Ring halo exchange (the only collective in the pass) +
+            reflect at the signal boundary + FFT-length padding."""
             right_edge = xc[:, -H:]     # -> right neighbor's left halo
             left_edge = xc[:, :H]       # -> left neighbor's right halo
             fwd = [(k, (k + 1) % n_t) for k in range(n_t)]
@@ -204,47 +206,106 @@ class TimeShardedSSQCWT:
                 # reflect-extend to the FFT-friendly length
                 xe = jnp.concatenate(
                     [xe, _reflect(xe, pad_extra, False)], axis=-1)
+            return xe
 
-            # overlap-save rows (halo-sized support, Nyquist-decayed)
-            Wx, dWx = cwt_core(xe, wavelet, scales_blk[n_lo:n_local], dt,
-                               derivative=True, l1_norm=True, n1=H, N=C,
-                               rpadded=False, is_2d=True)
+        def exact_rows(xc, scales_blk, i):
+            """Rows that can't ride overlap-save: global convolution on
+            the all-gathered signal, sliced to this chip's columns."""
+            xg = jax.lax.all_gather(xc, 'time', axis=-1, tiled=True)
+            from ..ops.pad import padsignal
+            xgp = padsignal(xg, 'reflect')
+            scales_g = jnp.concatenate(
+                [scales_blk[:n_lo], scales_blk[n_local:]], axis=0)
+            Wg, dWg = cwt_core(xgp, wavelet, scales_g, dt,
+                               derivative=True, l1_norm=True, n1=g_n1,
+                               N=xg.shape[-1], rpadded=False,
+                               is_2d=True, platform=mesh_platform)
+            sl = (lambda a: jax.lax.dynamic_slice_in_dim(
+                a, i * C, C, axis=-1))
+            cat = (lambda g, x: jnp.concatenate(
+                [sl(g[:, :n_lo]), x, sl(g[:, n_lo:])], axis=-2))
+            return Wg, dWg, sl, cat
 
-            if n_lo > 0 or n_local < scales_blk.shape[0]:
-                # exact rows (Nyquist-ringing prefix + over-support
-                # suffix): global convolution on the all-gathered signal,
-                # sliced to this chip's columns
-                xg = jax.lax.all_gather(xc, 'time', axis=-1, tiled=True)
-                from ..ops.pad import padsignal
-                xgp = padsignal(xg, 'reflect')
-                scales_g = jnp.concatenate(
-                    [scales_blk[:n_lo], scales_blk[n_local:]], axis=0)
-                Wg, dWg = cwt_core(xgp, wavelet, scales_g, dt,
-                                   derivative=True, l1_norm=True, n1=g_n1,
-                                   N=xg.shape[-1], rpadded=False,
-                                   is_2d=True)
-                sl = (lambda a: jax.lax.dynamic_slice_in_dim(
-                    a, i * C, C, axis=-1))
-                cat = (lambda g, x: jnp.concatenate(
-                    [sl(g[:, :n_lo]), x, sl(g[:, n_lo:])], axis=-2))
-                Wx = Complex(cat(Wg.re, Wx.re), cat(Wg.im, Wx.im))
-                dWx = Complex(cat(dWg.re, dWx.re), cat(dWg.im, dWx.im))
-            # fused phase + bin + scatter on local columns
-            w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
-            valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
-            w = jnp.where(valid, w, jnp.inf)
-            k, kvalid = compute_bins(w, params, flipud)
-            valid = valid & kvalid
-            cst = const_blk.reshape(1, -1, 1)
-            vre, vim = Wx.re * cst, Wx.im * cst
-            Tx = jax.vmap(
-                lambda a, b, kk, vv: _dispatch_scatter(
-                    a, b, kk, vv, nbins, nb_hint, platform=mesh_platform)
-            )(vre, vim, k, valid)
-            outs = (Tx.re, Tx.im, Wx.re, Wx.im)
-            if derivative:
-                outs = outs + (dWx.re, dWx.im)
-            return outs
+        # bins fast pipeline (dWx VMEM-only; see parallel/sharded.py) —
+        # available when the caller does not need dWx back
+        from ..ops.ssq_kernels import _pallas_enabled
+        use_pallas, interp = _pallas_enabled(mesh_platform)
+        use_bins = False
+        if use_pallas and not derivative:
+            from ..ops.cwt_pallas import cwt_pallas_applicable
+            from ..models.cwt import _is_analytic
+            if (cwt_pallas_applicable(wavelet, n_up, True) and
+                    _is_analytic(wavelet)):
+                probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+                use_bins = not isinstance(probe, tuple)
+        self.uses_bins_pipeline = use_bins
+
+        if use_bins:
+            from ..configs import get_config
+            from ..ops.fft import fft as _fft
+            from ..ops.cwt_pallas import cwt_fused_bins_pallas
+            from ..ops.ssq_pallas import scatter_kv_pallas
+            lowprec = (get_config().ssq_lowprec_deriv
+                       if self.deriv_lowprec is None
+                       else self.deriv_lowprec)
+            half = n_up // 2 + 1
+
+            def per_shard(xc, scales_blk, const_blk):
+                i = jax.lax.axis_index('time')
+                xe = extend(xc, i)
+                xh = _fft(Complex(xe, jnp.zeros_like(xe)), axis=-1,
+                          out_range=(0, half), imag_zero=True)
+                Wx, k = cwt_fused_bins_pallas(
+                    xh, scales_blk[n_lo:n_local], wavelet, n_up, H, C,
+                    dt, True, params, gamma, flipud, interpret=interp,
+                    deriv_lowprec=lowprec)
+                if n_lo > 0 or n_local < scales_blk.shape[0]:
+                    Wg, dWg, sl, cat = exact_rows(xc, scales_blk, i)
+                    wg = jnp.abs(_imag_ratio_over_2pi(Wg, dWg))
+                    validg = Wg.abs2() > jnp.asarray(gamma, dtype) ** 2
+                    wg = jnp.where(validg, wg, jnp.inf)
+                    kg, kvg = compute_bins(wg, params, flipud)
+                    kg = jnp.where(validg & kvg, kg, -1)
+                    Wx = Complex(cat(Wg.re, Wx.re), cat(Wg.im, Wx.im))
+                    k = cat(kg, k)
+                Tx = scatter_kv_pallas(Wx, k, const_blk, nbins,
+                                       natural_bins=nb_hint,
+                                       interpret=interp)
+                return Tx.re, Tx.im, Wx.re, Wx.im
+        else:
+            def per_shard(xc, scales_blk, const_blk):
+                # xc: (B_local, C) — this chip's chunk
+                i = jax.lax.axis_index('time')
+                xe = extend(xc, i)
+
+                # overlap-save rows (halo-sized support, Nyquist-decayed)
+                Wx, dWx = cwt_core(xe, wavelet, scales_blk[n_lo:n_local],
+                                   dt, derivative=True, l1_norm=True,
+                                   n1=H, N=C, rpadded=False, is_2d=True,
+                                   platform=mesh_platform)
+
+                if n_lo > 0 or n_local < scales_blk.shape[0]:
+                    Wg, dWg, sl, cat = exact_rows(xc, scales_blk, i)
+                    Wx = Complex(cat(Wg.re, Wx.re), cat(Wg.im, Wx.im))
+                    dWx = Complex(cat(dWg.re, dWx.re),
+                                  cat(dWg.im, dWx.im))
+                # fused phase + bin + scatter on local columns
+                w = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
+                valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
+                w = jnp.where(valid, w, jnp.inf)
+                k, kvalid = compute_bins(w, params, flipud)
+                valid = valid & kvalid
+                cst = const_blk.reshape(1, -1, 1)
+                vre, vim = Wx.re * cst, Wx.im * cst
+                Tx = jax.vmap(
+                    lambda a, b, kk, vv: _dispatch_scatter(
+                        a, b, kk, vv, nbins, nb_hint,
+                        platform=mesh_platform)
+                )(vre, vim, k, valid)
+                outs = (Tx.re, Tx.im, Wx.re, Wx.im)
+                if derivative:
+                    outs = outs + (dWx.re, dWx.im)
+                return outs
 
         n_out = 6 if derivative else 4
         fn = shard_map(

