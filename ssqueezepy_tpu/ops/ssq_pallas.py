@@ -211,6 +211,66 @@ def _plan_perm(natural_bins, na):
     return tuple(np.argsort(nb, kind='stable').tolist())
 
 
+@functools.lru_cache(maxsize=64)
+def _plan_positions(nat_key, na, nbins):
+    """Injective row->slot placement aligning each row with its natural
+    output bin (slot ~= nat), superseding the sorted permutation when the
+    map is dense. With rows AT their natural bins the static `offs` column
+    is ~0, so each group's dynamic [dmin, dmax] sweep is set by the
+    *data's* displacement spread alone — the in-group natural-bin spread
+    (up to ~45 bins on log-piecewise grids, where bin density varies
+    0.5-2 bins/row) previously forced ~2x the q-passes the data needed.
+
+    Returns (pos tuple len na, plane_rows) or None to use the legacy
+    permutation (sparse maps — e.g. per-shard row blocks scattering into
+    the full bin space — would waste whole empty groups)."""
+    if nat_key is None:
+        return None
+    nb = np.asarray(nat_key, np.int64)
+    if len(nb) != na:
+        return None
+    order = np.argsort(nb, kind='stable')
+    pos = np.empty(na, np.int64)
+    prev = -1
+    for i in order:
+        p = max(int(nb[i]), prev + 1)
+        pos[i] = p
+        prev = p
+    na_pad = _round_up(max(na, _GROUP), _GROUP)
+    plane = _round_up(max(prev + 1, _GROUP), _GROUP)
+    if plane > na_pad + 2 * _GROUP:
+        return None                      # too sparse: empty-group waste
+    if np.abs(pos - nb).max() > _GROUP:
+        return None                      # heavy collisions: no alignment
+    return tuple(int(p) for p in pos), int(plane)
+
+
+def _placement_gather(pos, plane, na):
+    """Row-gather index taking (na, N) input to the (plane, N) slot
+    layout; slot `pos[i]` holds row i, dead slots read the fill row
+    appended at index `na`."""
+    inv = np.full(plane, na, np.int32)
+    inv[np.asarray(pos, np.int64)] = np.arange(na, dtype=np.int32)
+    return inv
+
+
+def _place_rows(x, inv, na, fill=0):
+    """Scatter rows of `x` (na, N) to their slots via a static gather
+    (fuses into the surrounding pad/relayout); dead slots get `fill`."""
+    filler = jnp.full((1, x.shape[1]), fill, x.dtype)
+    return jnp.concatenate([x, filler], axis=0)[jnp.asarray(inv)]
+
+
+def _placed_offs(nat_key, pos, plane):
+    """Static tier-1 band center per slot: natural_bin - slot (~0 by
+    construction; nonzero only where collisions displaced a row)."""
+    offs = np.zeros((plane, 1), np.int32)
+    nb = np.asarray(nat_key, np.int64)
+    offs[np.asarray(pos, np.int64), 0] = (nb - np.asarray(pos, np.int64)
+                                          ).astype(np.int32)
+    return offs
+
+
 def _apply_perm(x, perm):
     if perm is None:
         return x

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .complexlib import Complex
 from .fft import fft, ifft, _factorize
 
-__all__ = ['stft_conv_applicable', 'stft_conv']
+__all__ = ['stft_conv_applicable', 'stft_conv', 'stft_pallas_rows']
 
 
 def _next_fft_len(n):
@@ -193,21 +193,24 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None):
     return kernel
 
 
-@functools.lru_cache(maxsize=8)
-def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
-                     padlength, interpret=False, bin_spec=None,
-                     sfs_key=None):
-    """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx]) —
-    or (Sx, k) when `bin_spec` is set (phase+bin map fused in-kernel;
-    `sfs_key` is the per-row Sfs tuple)."""
-    from .pad import padsignal
-    from .fft import _factorize, _dft_matrix_np, _twiddle_np
+def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
+                     derivative, interpret=False, bin_spec=None,
+                     sfs=None):
+    """Table-kernel STFT rows from a PRECOMPUTED full-length spectrum:
+    `xh` Complex (Np2,), `H*` row tables (n_rows, Np2). Returns
+    (Sx[, dSx]) — or (Sx, k) when `bin_spec` is set (phase+bin map
+    fused in-kernel; `sfs` per-row numpy Sfs values). Traceable — the
+    per-shard entry for row-sharded ssq_stft, and the core of the
+    single-signal jit below."""
+    from .fft import _dft_matrix_np, _twiddle_np
     f1, f2 = _factorize(Np2)
     rows0 = Np2 // f2
     k2lo = 0
     k2hi = -(-N_out // f1)
     k2span = k2hi - k2lo
-    dt_s = str(dtype)
+    dt_s = str(xh.re.dtype)
+    out_w = k2span * f1
+    n_rows = Hre.shape[0]
 
     wre, wim = _dft_matrix_np(f1, +1, 'float64')
     wre = (wre / Np2).astype(dt_s)
@@ -217,72 +220,84 @@ def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
     w2re, w2im = _dft_matrix_np(f2, +1, 'float64')
     w2re = np.ascontiguousarray(w2re[k2lo:k2hi].T).astype(dt_s)
     w2im = np.ascontiguousarray(w2im[k2lo:k2hi].T).astype(dt_s)
-    out_w = k2span * f1
+
+    const = lambda shape: pl.BlockSpec(
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, rows0, f2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0),
+                     memory_space=pltpu.SMEM)]
+    args = [jnp.asarray(fs).reshape(1, 1).astype(dt_s)]
+    if bin_spec is not None:
+        in_specs.append(pl.BlockSpec((n_rows, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        # sfs may be a trace-time constant (tuple/numpy) or a traced
+        # array (row-sharded ssq_stft passes its shard's block)
+        args.append(jnp.asarray(sfs, dt_s).reshape(n_rows, 1))
+    in_specs += [
+        const((rows0, f2)), const((rows0, f2)),
+        row, row, row, row,
+        const((f1, rows0)), const((f1, rows0)),
+        const((f1, f2)), const((f1, f2)),
+        const((f2, k2span)), const((f2, k2span)),
+    ]
+    if bin_spec is not None:
+        out_dts = (dt_s, dt_s, 'int32')
+    elif derivative:
+        out_dts = (dt_s,) * 4
+    else:
+        out_dts = (dt_s,) * 2
+    out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative,
+                               bin_spec=bin_spec)
+    args += [xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
+             Hre.reshape(n_rows, rows0, f2),
+             Him.reshape(n_rows, rows0, f2),
+             Hdre.reshape(n_rows, rows0, f2) if derivative else
+             Hre.reshape(n_rows, rows0, f2),
+             Hdim.reshape(n_rows, rows0, f2) if derivative else
+             Him.reshape(n_rows, rows0, f2),
+             jnp.asarray(wre), jnp.asarray(wim),
+             jnp.asarray(tre), jnp.asarray(tim),
+             jnp.asarray(w2re), jnp.asarray(w2im)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_rows,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * len(out_dts),
+        out_shape=tuple(jax.ShapeDtypeStruct((n_rows, k2span, f1),
+                                             od) for od in out_dts),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    outs = tuple(o.reshape(n_rows, out_w)[:, :N_out] for o in outs)
+    Sx = Complex(outs[0], outs[1])
+    if bin_spec is not None:
+        return Sx, outs[2]
+    if derivative:
+        return Sx, Complex(outs[2], outs[3])
+    return Sx, None
+
+
+@functools.lru_cache(maxsize=8)
+def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
+                     padlength, interpret=False, bin_spec=None,
+                     sfs_key=None):
+    """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx]) —
+    or (Sx, k) when `bin_spec` is set (phase+bin map fused in-kernel;
+    `sfs_key` is the per-row Sfs tuple)."""
+    from .pad import padsignal
+    dt_s = str(dtype)
 
     def run(xj, fs, Hre, Him, Hdre, Hdim):
-        n_rows = Hre.shape[0]
         xj = xj.astype(dt_s)
         xp = padsignal(xj, padtype, padlength=padlength)
         xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
-
-        const = lambda shape: pl.BlockSpec(
-            shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
-        row = pl.BlockSpec((1, rows0, f2), lambda i: (i, 0, 0),
-                           memory_space=pltpu.VMEM)
-        in_specs = [
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM)]
-        args = [fs.reshape(1, 1).astype(dt_s)]
-        if bin_spec is not None:
-            in_specs.append(pl.BlockSpec((n_rows, 1), lambda i: (0, 0),
-                                         memory_space=pltpu.SMEM))
-            args.append(jnp.asarray(np.asarray(sfs_key, dt_s)
-                                    .reshape(n_rows, 1)))
-        in_specs += [
-            const((rows0, f2)), const((rows0, f2)),
-            row, row, row, row,
-            const((f1, rows0)), const((f1, rows0)),
-            const((f1, f2)), const((f1, f2)),
-            const((f2, k2span)), const((f2, k2span)),
-        ]
-        if bin_spec is not None:
-            out_dts = (dt_s, dt_s, 'int32')
-        elif derivative:
-            out_dts = (dt_s,) * 4
-        else:
-            out_dts = (dt_s,) * 2
-        out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative,
-                                   bin_spec=bin_spec)
-        args += [xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
-                 Hre.reshape(n_rows, rows0, f2),
-                 Him.reshape(n_rows, rows0, f2),
-                 Hdre.reshape(n_rows, rows0, f2) if derivative else
-                 Hre.reshape(n_rows, rows0, f2),
-                 Hdim.reshape(n_rows, rows0, f2) if derivative else
-                 Him.reshape(n_rows, rows0, f2),
-                 jnp.asarray(wre), jnp.asarray(wim),
-                 jnp.asarray(tre), jnp.asarray(tim),
-                 jnp.asarray(w2re), jnp.asarray(w2im)]
-        outs = pl.pallas_call(
-            kernel,
-            grid=(n_rows,),
-            in_specs=in_specs,
-            out_specs=(out_spec,) * len(out_dts),
-            out_shape=tuple(jax.ShapeDtypeStruct((n_rows, k2span, f1),
-                                                 od) for od in out_dts),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret,
-        )(*args)
-        outs = tuple(o.reshape(n_rows, out_w)[:, :N_out] for o in outs)
-        Sx = Complex(outs[0], outs[1])
-        if bin_spec is not None:
-            return Sx, outs[2]
-        if derivative:
-            return Sx, Complex(outs[2], outs[3])
-        return Sx, None
+        return stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
+                                derivative, interpret, bin_spec, sfs_key)
     return jax.jit(run)
 
 

@@ -368,4 +368,19 @@ def dryrun_multichip(n_devices):
         T3 = p3(x)
         jax.block_until_ready(T3.re)
         assert np.isfinite(np.asarray(T3.re)).all()
+
+    # sharded STFT family: frequency-row sharding with the squeeze's
+    # bin reduction as the only cross-chip psum
+    from .sharded_stft import ShardedSSQSTFT
+    from .distributed import init_distributed, make_host_chip_mesh
+    # multi-host bootstrap (no-op single-host) + host x chip mesh whose
+    # inner axis rides ICI — the DCN layer's single-host degeneration
+    pidx, pcnt = init_distributed()
+    assert pidx == 0 and pcnt >= 1
+    hmesh = make_host_chip_mesh('scale', devices=devices)
+    assert hmesh.devices.size == n_devices
+    splan = ShardedSSQSTFT(N, n_fft=64, mesh=hmesh, dtype='float32')
+    Ts, Ss = splan(x)
+    jax.block_until_ready(Ts.re)
+    assert np.isfinite(np.asarray(Ts.re)).all()
     return True

@@ -161,3 +161,66 @@ def test_difftypes_and_get_w():
         Tx, *_ = ssq_cwt(x, wav, scales='log', difftype=difftype,
                          get_w=True, astensor=False)
         assert np.isfinite(Tx).all(), difftype
+
+
+@pytest.mark.parametrize("mode", ['lin', 'log', 'log-piecewise'])
+@pytest.mark.parametrize("flipud", [False, True])
+def test_bin_math_cross_equality(mode, flipud):
+    """The bin arithmetic exists twice — `compute_bins` (XLA paths) and
+    `_phase_bin_math` (inside the Pallas kernels): any drift between
+    them would pass each path's own tests, so assert them equal on the
+    same inputs across modes/geometry (VERDICT r2 weak #8)."""
+    from ssqueezepy_tpu.ops.ssq_pallas import _phase_bin_math
+    from ssqueezepy_tpu.ops.ssq_kernels import ssq_bin_params
+    rng = np.random.default_rng(5)
+
+    if mode == 'lin':
+        sf = np.linspace(0., .5, 200)
+        params = ssq_bin_params(sf, logscale=False)
+    elif mode == 'log':
+        sf = np.logspace(np.log10(1e-3), np.log10(.5), 200)
+        params = ssq_bin_params(sf, logscale=True)
+    else:
+        # piecewise grid: two log segments with an nv halving
+        s0 = np.logspace(np.log10(1e-3), np.log10(5e-2), 120,
+                         endpoint=False)
+        s1 = 5e-2 * (s0[1] / s0[0]) ** (2 * np.arange(80))
+        sf = np.concatenate([s0, s1])
+        params = ssq_bin_params(sf, logscale=True)
+    assert params['mode'] == mode
+
+    gamma = 1e-3
+    shape = (40, 64)
+    C = rng.standard_normal(shape).astype(np.float32)
+    D = rng.standard_normal(shape).astype(np.float32)
+    A = rng.standard_normal(shape).astype(np.float32)
+    B = rng.standard_normal(shape).astype(np.float32)
+    # sprinkle sub-gamma cells to exercise the gate
+    C[::7] *= 1e-5
+    D[::7] *= 1e-5
+
+    k_p, v_p = _phase_bin_math(jnp.asarray(C), jnp.asarray(D),
+                               jnp.asarray(A), jnp.asarray(B),
+                               params, gamma, flipud, mode)
+    # the XLA formulation: explicit phase transform then compute_bins
+    denom = C * C + D * D
+    w = np.abs((B * C - A * D) / (denom * 2 * np.pi))
+    w = np.where(denom > gamma ** 2, w, np.inf).astype(np.float32)
+    k_x, v_x = compute_bins(jnp.asarray(w), params, flipud)
+    v_x = np.asarray(v_x) & (denom > gamma ** 2)
+
+    assert np.array_equal(np.asarray(v_p), v_x)
+    assert np.array_equal(np.asarray(k_p)[v_x], np.asarray(k_x)[v_x])
+
+    # STFT flavor: |Sfs - w| distance bins
+    sfs = np.linspace(0, .5, shape[0], dtype=np.float32)[:, None]
+    k_p2, v_p2 = _phase_bin_math(jnp.asarray(C), jnp.asarray(D),
+                                 jnp.asarray(A), jnp.asarray(B),
+                                 params, gamma, flipud, mode,
+                                 sfs=jnp.asarray(sfs))
+    w2 = np.abs(sfs - (B * C - A * D) / (denom * 2 * np.pi))
+    w2 = np.where(denom > gamma ** 2, w2, np.inf).astype(np.float32)
+    k_x2, v_x2 = compute_bins(jnp.asarray(w2), params, flipud)
+    v_x2 = np.asarray(v_x2) & (denom > gamma ** 2)
+    assert np.array_equal(np.asarray(v_p2), v_x2)
+    assert np.array_equal(np.asarray(k_p2)[v_x2], np.asarray(k_x2)[v_x2])

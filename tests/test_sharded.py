@@ -158,3 +158,18 @@ def test_full_sharded_routes_through_bins_pipeline():
     finally:
         reset_config()
     _bins_route_criterion(Tx_p.to_numpy(), Tx_x.to_numpy())
+
+
+@needs_8
+def test_distributed_single_host_smoke():
+    """Multi-host layer, single-host degeneration (SURVEY.md §5.8): the
+    bootstrap is a no-op and the host x chip mesh spans (1, n_local)."""
+    from ssqueezepy_tpu.parallel import (init_distributed,
+                                         make_host_chip_mesh)
+    pidx, pcnt = init_distributed()
+    assert pidx == 0 and pcnt == 1
+    mesh = make_host_chip_mesh('scale')
+    assert mesh.axis_names == ('batch', 'scale')
+    assert mesh.devices.shape == (1, len(jax.devices()))
+    mesh_t = make_host_chip_mesh('time')
+    assert mesh_t.axis_names == ('batch', 'time')
