@@ -395,23 +395,39 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
-    na_pad = _round_up(max(na, _GROUP), _GROUP)
+    placement = _plan_positions(nat_key, na, nbins)
+    na_pad = (placement[1] if placement is not None
+              else _round_up(max(na, _GROUP), _GROUP))
     nbins_pad = _round_up(max(nbins, 8), 8)
     N_pad = _round_up(N, T)
     dt = Wxr.dtype
     rp, cp = na_pad - na, N_pad - N
 
-    def prep(x):
-        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+    if placement is not None:
+        pos, plane = placement
+        inv = _placement_gather(pos, plane, na)
 
-    def prep_col(x):
-        return jnp.pad(_apply_perm(x, perm).reshape(-1, 1), ((0, rp),
-                                                             (0, 0)))
+        def prep(x):
+            return jnp.pad(_place_rows(x, inv, na), ((0, 0), (0, cp)))
 
-    # zero-padding makes |Wx|=0 <= gamma -> padded entries invalid
+        def prep_col(x):
+            return _place_rows(x.reshape(-1, 1), inv, na)
+
+        offs_np = _placed_offs(nat_key, pos, plane)
+    else:
+        def prep(x):
+            return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+
+        def prep_col(x):
+            return jnp.pad(_apply_perm(x, perm).reshape(-1, 1),
+                           ((0, rp), (0, 0)))
+
+        offs_np = _offs_column(nat_key, perm, na, na_pad)
+
+    # zero-padding makes |Wx|=0 <= gamma -> padded/dead entries invalid
     args = [prep(Wxr), prep(Wxi), prep(dWxr), prep(dWxi),
             prep_col(const_col),
-            jnp.asarray(_offs_column(nat_key, perm, na, na_pad))]
+            jnp.asarray(offs_np)]
     col_spec = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     in_specs = [
@@ -564,21 +580,36 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
 def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
                      interpret, T=1024):
     na, N = wxr.shape
-    na_pad = _round_up(max(na, _GROUP), _GROUP)
+    placement = _plan_positions(nat_key, na, nbins)
+    na_pad = (placement[1] if placement is not None
+              else _round_up(max(na, _GROUP), _GROUP))
     nbins_pad = _round_up(max(nbins, 8), 8)
     N_pad = _round_up(N, T)
     dt = wxr.dtype
     rp, cp = na_pad - na, N_pad - N
 
-    def prep(x):
-        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+    if placement is not None:
+        pos, plane = placement
+        inv = _placement_gather(pos, plane, na)
 
-    # padded cells carry k = -1 (invalid)
-    k_ = jnp.pad(_apply_perm(k, perm), ((0, rp), (0, cp)),
-                 constant_values=-1)
-    const_ = jnp.pad(_apply_perm(const_col, perm).reshape(-1, 1),
-                     ((0, rp), (0, 0)))
-    offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
+        def prep(x):
+            return jnp.pad(_place_rows(x, inv, na), ((0, 0), (0, cp)))
+
+        # dead slots carry k = -1 (invalid)
+        k_ = jnp.pad(_place_rows(k, inv, na, fill=-1), ((0, 0), (0, cp)),
+                     constant_values=-1)
+        const_ = _place_rows(const_col.reshape(-1, 1), inv, na)
+        offs = jnp.asarray(_placed_offs(nat_key, pos, plane))
+    else:
+        def prep(x):
+            return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+
+        # padded cells carry k = -1 (invalid)
+        k_ = jnp.pad(_apply_perm(k, perm), ((0, rp), (0, cp)),
+                     constant_values=-1)
+        const_ = jnp.pad(_apply_perm(const_col, perm).reshape(-1, 1),
+                         ((0, rp), (0, 0)))
+        offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
 
     kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
@@ -679,23 +710,35 @@ def _make_scatter_kernel(na_pad, nbins_pad, T):
 def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
                   T=512):
     na, N = vre.shape
-    na_pad = _round_up(max(na, _GROUP), _GROUP)
+    placement = _plan_positions(nat_key, na, nbins)
+    na_pad = (placement[1] if placement is not None
+              else _round_up(max(na, _GROUP), _GROUP))
     nbins_pad = _round_up(max(nbins, 8), 8)
     N_pad = _round_up(N, T)
     dt = vre.dtype
     rp, cp = na_pad - na, N_pad - N
 
-    def prep(x):
-        return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+    if placement is not None:
+        pos, plane = placement
+        inv = _placement_gather(pos, plane, na)
+
+        def prep(x):
+            return jnp.pad(_place_rows(x, inv, na), ((0, 0), (0, cp)))
+
+        offs = jnp.asarray(_placed_offs(nat_key, pos, plane))
+    else:
+        def prep(x):
+            return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
+
+        offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
 
     vre_ = prep(vre)
     vim_ = prep(vim)
     # XLA-scatter index semantics: negative k wraps (numpy indexing),
-    # k >= nbins is dropped; padded rows are invalid
+    # k >= nbins is dropped; padded/dead rows are invalid
     k = jnp.where(k < 0, k + nbins, k)
     k_ = prep(k)
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
-    offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
 
     kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),

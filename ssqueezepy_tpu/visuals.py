@@ -258,10 +258,57 @@ def wavelet_tf(wavelet, N=None, scale=None, notext=False, width=1.1,
     plt.show()
 
 
-def wavelet_tf_anim(wavelet, N=None, scales=None, **kw):  # pragma: no cover
-    """Static fallback of the animated scale sweep
-    (reference visuals.py:131)."""
-    wavelet_heatmap(wavelet, N=N, scales=scales, **kw)
+def wavelet_tf_anim(wavelet, N=None, scales=None, n_frames=30, fps=10,
+                    savepath=None, testing=False, **kw):
+    """Animated joint time/frequency view of the wavelet sweeping through
+    `scales` (reference visuals.py:131-301): left pane Re/Im of psi(t),
+    right pane psih(w)+, one frame per scale. Returns the
+    `FuncAnimation`; writes a GIF when `savepath` is given."""
+    from matplotlib.animation import FuncAnimation, PillowWriter
+    from .models.wavelets import Wavelet
+    from .utils.cwt_utils import process_scales
+    wavelet = Wavelet._init_if_not_isinstance(wavelet)
+    N = N or wavelet.N or 1024
+    if scales is None or isinstance(scales, str):
+        scales = process_scales(scales or 'log', N, wavelet)
+    scales = np.asarray(scales).squeeze()
+    if len(scales) > n_frames:       # uniform geometric subsample
+        idx = np.unique(np.linspace(0, len(scales) - 1,
+                                    n_frames).round().astype(int))
+        scales = scales[idx]
+
+    # all frames from one filterbank synthesis (trace-time numpy)
+    Psih = wavelet.filterbank_np(scales, N=N, nohalf=False)
+    Psi = np.fft.ifft(Psih * (-1) ** np.arange(N), axis=-1)
+    half = N // 2 + 1
+    t = np.arange(N) - N // 2
+
+    fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+    l_re, = axes[0].plot(t, Psi[0].real, color='tab:blue')
+    l_im, = axes[0].plot(t, Psi[0].imag, color='tab:orange')
+    l_fr, = axes[1].plot(np.abs(Psih[0][:half]), color='tab:green')
+    axes[0].set_ylim(1.05 * np.abs(Psi).max() * np.array([-1, 1]))
+    axes[1].set_ylim(0, 1.05 * np.abs(Psih).max())
+    _maybe_title(axes[0], "psi(t)")
+    ttl = axes[1].set_title("|psih(w)+|  scale=%.3g" % scales[0],
+                            fontsize=16, weight='bold', loc='left')
+
+    def frame(i):
+        l_re.set_ydata(Psi[i].real)
+        l_im.set_ydata(Psi[i].imag)
+        l_fr.set_ydata(np.abs(Psih[i][:half]))
+        if ttl is not None:
+            ttl.set_text("|psih(w)+|  scale=%.3g" % scales[i])
+        return l_re, l_im, l_fr
+
+    anim = FuncAnimation(fig, frame, frames=len(scales), blit=False,
+                         interval=1000 // fps)
+    if savepath:
+        anim.save(savepath, writer=PillowWriter(fps=fps))
+        plt.close(fig)
+    elif not testing:
+        plt.show()
+    return anim
 
 
 def wavelet_heatmap(wavelet, scales='log', N=None, **kw):

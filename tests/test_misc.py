@@ -190,6 +190,20 @@ def test_visuals_run():
     ts.demo('echirp')
 
 
+def test_wavelet_tf_anim(tmp_path):
+    """Real animated scale sweep (reference visuals.py:131-301): renders
+    a small GIF end-to-end."""
+    import matplotlib
+    matplotlib.use('Agg')
+    from ssqueezepy_tpu import visuals
+    path = str(tmp_path / 'anim.gif')
+    anim = visuals.wavelet_tf_anim(Wavelet('gmw'), N=128, n_frames=3,
+                                   savepath=path, testing=True)
+    assert anim is not None
+    import os
+    assert os.path.getsize(path) > 1000
+
+
 def test_est_riskshrink_thresh():
     x = rng.standard_normal(512)
     Wx, sc = cwt(x, ('gmw', {'dtype': 'float64'}), scales='log',
