@@ -171,6 +171,71 @@ def main():
     print('bins pipeline full   : %.4f s' % bench(jax.jit(f_bins_full),
                                                   xp_j, scales_j, const_j))
 
+    # ---- ssq_stft stages (n_fft = 598 -> 300 rows, the bench cell) ------
+    profile_ssq_stft(x)
+
+
+def profile_ssq_stft(x):
+    from ssqueezepy_tpu.models.stft import _window_key
+    from ssqueezepy_tpu.models.windows import get_window
+    from ssqueezepy_tpu.ops.stft_conv import (stft_conv, stft_conv_bins,
+                                              _device_filterbank,
+                                              _next_fft_len)
+    from ssqueezepy_tpu.ops.ssq_pallas import scatter_kv_pallas
+    N = len(x)
+    n_fft = 598
+    dtype = 'float32'
+    win, dwin = get_window(None, n_fft, n_fft, derivative=True,
+                           dtype=dtype)
+    win_key = _window_key(win, dwin)
+    n_rows = n_fft // 2 + 1
+    padlength = N + n_fft - 1
+    Np2 = _next_fft_len(padlength)
+    Sfs = np.linspace(0, .5, n_rows, dtype=dtype)
+    params = dict(ssq_bin_params(Sfs, logscale=False))
+    gamma = float(10 * np.finfo(np.float32).eps)
+    const = float(Sfs[1] - Sfs[0])
+    nbins = params['omax'] + 1
+    natural = np.arange(n_rows, dtype=np.int32)
+    sfs_key = tuple(float(v) for v in Sfs)
+    tables = _device_filterbank(win_key, n_fft, Np2, True, dtype)
+    xj = jnp.asarray(x)
+
+    def f_conv(xj, *tbl):
+        Sx, dSx = stft_conv(xj, 1.0, n_fft, N, win_key, True, True,
+                            'reflect', padlength, dtype, tables=tbl)
+        return Sx.re.sum() + dSx.re.sum()
+    print('stft_conv Sx+dSx     : %.4f s' % bench(jax.jit(f_conv), xj,
+                                                  *tables))
+
+    def f_sbins(xj, *tbl):
+        Sx, k = stft_conv_bins(xj, 1.0, n_fft, N, win_key, True,
+                               'reflect', padlength, dtype, params,
+                               gamma, False, sfs_key, tbl)
+        return Sx.re.sum() + k.sum()
+    print('stft_conv_bins (Sx,k): %.4f s' % bench(jax.jit(f_sbins), xj,
+                                                  *tables))
+
+    Sxb, kb = jax.jit(lambda xj, *tbl: stft_conv_bins(
+        xj, 1.0, n_fft, N, win_key, True, 'reflect', padlength, dtype,
+        params, gamma, False, sfs_key, tbl))(xj, *tables)
+
+    def f_skv(Sr, Si, k):
+        Tx = scatter_kv_pallas(Complex(Sr, Si), k, const, nbins,
+                               natural_bins=natural)
+        return Tx.re.sum()
+    print('stft scatter_kv only : %.4f s' % bench(jax.jit(f_skv), Sxb.re,
+                                                  Sxb.im, kb))
+
+    def f_sfull(xj, *tbl):
+        Sx, k = stft_conv_bins(xj, 1.0, n_fft, N, win_key, True,
+                               'reflect', padlength, dtype, params,
+                               gamma, False, sfs_key, tbl)
+        Tx = scatter_kv_pallas(Sx, k, const, nbins, natural_bins=natural)
+        return Tx.re.sum() + Sx.re.sum()
+    print('ssq_stft bins full   : %.4f s' % bench(jax.jit(f_sfull), xj,
+                                                  *tables))
+
 
 if __name__ == '__main__':
     main()
