@@ -40,6 +40,25 @@ REF_GPU = {('ssq_cwt', 160000): 0.0856, ('ssq_cwt', 10000): 0.00941,
 
 
 def main():
+    # startup watchdog: a wedged device tunnel can hang backend init
+    # itself (before any cell alarm is armed) — guarantee ONE JSON line
+    # inside the driver window no matter what
+    import signal as _sig
+
+    def _startup_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "ssq_cwt_160k_300rows_transforms_per_sec",
+            "value": 0.0, "unit": "transforms/sec/chip",
+            "vs_baseline": 0.0, "sweep": {},
+            "error": "backend init / first compile hung (tunnel wedged)"}),
+            flush=True)
+        import os
+        os._exit(3)
+
+    _sig.signal(_sig.SIGALRM, _startup_timeout)
+    _sig.alarm(max(int(float(os.environ.get('BENCH_BUDGET_S', '460'))) - 20,
+                   60))
+
     import jax.numpy as jnp
     import ssqueezepy_tpu as stq
     from ssqueezepy_tpu.models.wavelets import Wavelet
@@ -109,6 +128,7 @@ def main():
     def _alarm(signum, frame):
         raise _CellTimeout()
 
+    signal.alarm(0)                     # startup watchdog stands down
     signal.signal(signal.SIGALRM, _alarm)
     deadline = t_start + budget
     for name, N in order:
