@@ -127,6 +127,7 @@ def _device_plan_arrays(key, scales_np, const, dtype):
 
 
 _PLAN_CACHE = {}
+_RUNNER_CACHE = {}
 
 
 def _spec_key(spec):
@@ -294,24 +295,40 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     else:
         n_up, n1 = N, 0
 
-    xj = jnp.asarray(xnp, dtype=dtype)
+    if isinstance(xnp, (jnp.ndarray, jax.Array)) \
+            and str(xnp.dtype) == dtype:
+        xj = xnp                        # already device-resident
+    else:
+        xj = jnp.asarray(xnp, dtype=dtype)
 
-    runner = _ssq_cwt_jit(
-        _wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N, True, is_2d,
-        bool(flipud), squeezing if isinstance(squeezing, str) else None,
-        tuple(sorted(params.items())), gamma, True,
-        tuple(natural.tolist()) if natural is not None else None,
-        (wavelet,), str(np.asarray(const).shape), padtype,
-        # dWx feeds only the reassignment bin index unless the caller
-        # asked for it back: run its IFFT pipeline in single-pass bf16
-        # (see ops/cwt_pallas._dot_lo; +-1-bin criterion); opt out via
-        # configure(ssq_lowprec_deriv=False)
-        deriv_lowprec=(not get_dWx and
-                       get_config().ssq_lowprec_deriv),
-        # per-scale stage-1 support pruning (exact at f32)
-        klims=support_klims(wavelet, scales_np, n_up))
-    scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
-                                            dtype)
+    lowprec = (not get_dWx and get_config().ssq_lowprec_deriv)
+    # whole-call memo: rebuilding the jit-cache key (param/natural-bin
+    # tuples, klims) costs ~0.5 ms/call — a visible slice of a small-N
+    # repeated call (the reference benchmark's own protocol)
+    callkey = ((devkey, xnp.shape, dtype, padtype, squeezing, gamma,
+                lowprec) if devkey is not None else None)
+    hit = _RUNNER_CACHE.get(callkey) if callkey is not None else None
+    if hit is not None:
+        runner, scales_j, const_j = hit
+    else:
+        runner = _ssq_cwt_jit(
+            _wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N, True,
+            is_2d, bool(flipud),
+            squeezing if isinstance(squeezing, str) else None,
+            tuple(sorted(params.items())), gamma, True,
+            tuple(natural.tolist()) if natural is not None else None,
+            (wavelet,), str(np.asarray(const).shape), padtype,
+            # dWx feeds only the reassignment bin index unless the caller
+            # asked for it back: run its IFFT pipeline in single-pass bf16
+            # (see ops/cwt_pallas._dot_lo; +-1-bin criterion); opt out via
+            # configure(ssq_lowprec_deriv=False)
+            deriv_lowprec=lowprec,
+            # per-scale stage-1 support pruning (exact at f32)
+            klims=support_klims(wavelet, scales_np, n_up))
+        scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
+                                                dtype)
+        if callkey is not None:
+            _RUNNER_CACHE[callkey] = (runner, scales_j, const_j)
     from .cwt import _device_scalar
     Tx, Wx, dWx = runner(xj, scales_j, _device_scalar(dt, dtype), const_j)
 
