@@ -125,6 +125,9 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
     return lambda xj: jitted(xj, *tables)
 
 
+_SSQ_STFT_PLANS = {}
+
+
 def _make_Sfs(Sx, fs):
     n_rows = Sx.shape[0] if Sx.ndim == 2 else Sx.shape[1]
     dtype = 'float32' if str(Sx.dtype) == 'float32' else 'float64'
@@ -162,33 +165,66 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
         gamma = 10 * (EPS64 if dtype_ == 'float64' else EPS32)
     gamma = float(gamma)
 
-    # plan (host, memoized pieces): window, Sfs grid, bin params
-    win, dwin = _gw(window, win_len, n_fft_, derivative=True, dtype=dtype_)
-    _check_NOLA(win, hop_len, dtype_)
-    win_key = _window_key(win, dwin)
-    n_rows = n_fft_ // 2 + 1
-    Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
-    if ssq_freqs is None:
-        ssq_freqs = Sfs
-    const = float(ssq_freqs[1] - ssq_freqs[0])
-    params = ssq_bin_params(ssq_freqs, logscale=False)
-    from .ssqueezing import _natural_bins
-    natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
-                            n_rows, 1. / fs_)
-    padlength = N + n_fft_ - 1
+    # plan (host, memoized): window, Sfs grid, bin params, fast runner.
+    # The per-call numpy pass (linspace + bin params + natural bins +
+    # key-tuple construction) costs ~0.6 ms — a visible slice of a
+    # small-N repeated call.
+    _UNCACHEABLE = object()
+
+    def wkey(spec):
+        if spec is None or isinstance(spec, str):
+            return spec
+        if isinstance(spec, np.ndarray):
+            return ('nd', hash(spec.tobytes()), spec.shape,
+                    str(spec.dtype))
+        return _UNCACHEABLE
+
+    plankey = (wkey(window), wkey(ssq_freqs), xnp.shape, n_fft_, win_len,
+               int(hop_len), float(fs_), bool(modulated), padtype, dtype_,
+               gamma, bool(flipud), bool(get_w), bool(get_dWx),
+               squeezing if isinstance(squeezing, str) else None)
+    if _UNCACHEABLE in (plankey[0], plankey[1]):
+        plankey = None
+    plan = _SSQ_STFT_PLANS.get(plankey) if plankey is not None else None
+    if plan is None:
+        win, dwin = _gw(window, win_len, n_fft_, derivative=True,
+                        dtype=dtype_)
+        _check_NOLA(win, hop_len, dtype_)
+        win_key = _window_key(win, dwin)
+        n_rows = n_fft_ // 2 + 1
+        Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
+        if ssq_freqs is None:
+            ssq_freqs = Sfs
+        const = float(ssq_freqs[1] - ssq_freqs[0])
+        params = ssq_bin_params(ssq_freqs, logscale=False)
+        from .ssqueezing import _natural_bins
+        natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
+                                n_rows, 1. / fs_)
+        padlength = N + n_fft_ - 1
+        runner = None
+        if not get_w and (squeezing is None
+                          or isinstance(squeezing, str)):
+            runner = _ssq_stft_fast_jit(
+                xnp.shape, dtype_, n_fft_, int(hop_len), bool(modulated),
+                win_key, padtype, padlength, float(fs_), bool(flipud),
+                squeezing if isinstance(squeezing, str) else None,
+                tuple(sorted(params.items())), gamma,
+                tuple(natural.tolist()) if natural is not None else None,
+                tuple(Sfs.tolist()), const, need_dsx=bool(get_dWx))
+        plan = (runner, Sfs, ssq_freqs, const, params, natural)
+        if plankey is not None:
+            _SSQ_STFT_PLANS[plankey] = plan
+    runner, Sfs, ssq_freqs, const, params, natural = plan
 
     # callable `squeezing` can't key the jit cache — take the eager path,
     # which applies the user function between phase and scatter
-    if not get_w and (squeezing is None or isinstance(squeezing, str)):
-        # fused fast path: one cached jit for the whole forward
-        runner = _ssq_stft_fast_jit(
-            xnp.shape, dtype_, n_fft_, int(hop_len), bool(modulated),
-            win_key, padtype, padlength, float(fs_), bool(flipud),
-            squeezing if isinstance(squeezing, str) else None,
-            tuple(sorted(params.items())), gamma,
-            tuple(natural.tolist()) if natural is not None else None,
-            tuple(Sfs.tolist()), const, need_dsx=bool(get_dWx))
-        Tx, Sx, dSx = runner(jnp.asarray(xnp, dtype=dtype_))
+    if runner is not None:
+        if isinstance(xnp, (jnp.ndarray, jax.Array)) \
+                and str(xnp.dtype) == dtype_:
+            xj = xnp                    # already device-resident
+        else:
+            xj = jnp.asarray(xnp, dtype=dtype_)
+        Tx, Sx, dSx = runner(xj)
         w = None
     else:
         Sx, dSx = stft(xnp, window, n_fft=n_fft_, win_len=win_len,
