@@ -189,6 +189,10 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24):
                                              'T'))
 def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
                     T=1024):
+    band = 24
+    if ':B=' in variant:
+        variant, b = variant.split(':B=')
+        band = int(b)
     na, N = wxr.shape
     G = 32
     placement = sp._plan_positions(nat_key, na, nbins)
@@ -208,7 +212,8 @@ def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
     const_ = sp._place_rows(const_col.reshape(-1, 1), inv, na)
     offs = jnp.asarray(sp._placed_offs(nat_key, pos, plane))
 
-    kernel = make_kernel(na_pad, nbins_pad, T, nbins, variant, G=G)
+    kernel = make_kernel(na_pad, nbins_pad, T, nbins, variant, G=G,
+                         BAND=band)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
