@@ -9,7 +9,7 @@ python - <<'EOF'
 import signal, sys, time
 
 def bail(signum, frame):
-    print('PROBE: tunnel wedged (no response in 480s), exiting cleanly',
+    print('PROBE: tunnel wedged (no response in 1800s), exiting cleanly',
           flush=True)
     # exit without killing any in-flight RPC thread abruptly is not
     # possible from SIGALRM; os._exit avoids interpreter teardown hangs
@@ -17,7 +17,9 @@ def bail(signum, frame):
     os._exit(42)
 
 signal.signal(signal.SIGALRM, bail)
-signal.alarm(480)
+# LONG wait: a recovering tunnel answers eventually; giving up early
+# drops the RPC mid-flight and re-wedges the server (observed)
+signal.alarm(1800)
 t0 = time.time()
 import jax, jax.numpy as jnp, numpy as np
 print('PROBE: backend init %.0fs' % (time.time() - t0), flush=True)
