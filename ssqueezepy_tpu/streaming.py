@@ -1,0 +1,405 @@
+# -*- coding: utf-8 -*-
+"""Streaming (chunked, online) CWT & synchrosqueezed CWT.
+
+Real-time / unbounded-signal layer the reference library lacks: the
+signal arrives in fixed-size chunks and each chunk is transformed by ONE
+pre-compiled program in overlap-save form — the chunk is extended left
+with `history` samples of carried past signal and right with `lookahead`
+samples of not-yet-emitted future signal, FFT-convolved, and cropped to
+the emit region. Because every call has identical shapes, XLA compiles
+exactly once and the carry state (history + pending-lookahead buffers)
+never leaves the device.
+
+Latency/accuracy contract: emitted columns lag the newest received
+sample by `lookahead` samples (any value — the emit region simply trails
+by ``ceil(lookahead / chunk)`` chunks); a scale row is *reliable* when
+its time support (``halo_mult`` standard deviations, `support_np`) fits
+inside ``min(history, lookahead)`` — identical to the time-sharded
+overlap-save criterion (parallel/time_sharded.py). Rows beyond that
+degrade smoothly with the wavelet's time decay; no exact-path correction
+exists for them (a stream has no global signal to gather), so raise
+`history`/`lookahead` (or cap the scale range) when the top scales
+matter. `n_reliable` counts the reliable rows.
+
+The per-chunk body reuses the single-chip fast pipeline: fused
+CWT+phase+bin Pallas kernel (dWx stays in VMEM) feeding the k-consuming
+scatter, with the XLA fallback on non-TPU platforms. Reference behavior
+spec for the transform itself: /root/reference/ssqueezepy/_cwt.py:12,
+_ssq_cwt.py:29 (offline forms; streaming is original to this package).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ops.complexlib import Complex
+from .ops.ssq_kernels import (ssq_bin_params, compute_bins,
+                              _dispatch_scatter, _pallas_enabled)
+from .ops.phase import _imag_ratio_over_2pi
+from .utils.common import EPS32, EPS64
+from .utils.cwt_utils import process_scales
+from .models.wavelets import Wavelet
+from .models.cwt import cwt_core, _process_gmw_wavelet, _is_analytic
+from .models.ssqueezing import _compute_associated_frequencies
+from .parallel.time_sharded import _next_fft_len, _reflect
+
+__all__ = ['StreamingSSQCWT', 'StreamingCWT', 'stream_ssq_cwt',
+           'stream_cwt']
+
+
+class StreamingSSQCWT:
+    """Online synchrosqueezed CWT over fixed-size chunks.
+
+    Usage::
+
+        plan = StreamingSSQCWT(chunk=1024, wavelet='gmw', N=16384)
+        for c in chunks:              # each (chunk,) or (B, chunk)
+            Tx_cols, Wx_cols = plan.process(c)
+        Tx_tail, Wx_tail = plan.finalize()
+
+    `process` returns the transform columns for `chunk` signal positions
+    delayed by `lookahead` samples (the first call returns
+    ``chunk - lookahead`` columns; `finalize` flushes the final
+    `lookahead` columns using reflected right-padding). Concatenating
+    every emitted block reproduces one column per input sample.
+
+    Parameters
+    ----------
+    chunk : int
+        Samples per `process` call. All calls must use this size.
+    N : int
+        Planning length for scale selection and the ssq frequency grid
+        (use the true signal length when known; any representative
+        record length otherwise). Defaults to ``16 * chunk``.
+    history, lookahead : int
+        Left / right context in samples. Both default to the largest
+        scale's time support (`halo_mult` standard deviations) capped at
+        ``4 * chunk`` — raise them for full-fidelity top scales (see
+        `support_np` / `n_reliable`), lower `lookahead` for latency.
+    batch : leading batch size inferred from the first chunk.
+    """
+
+    def __init__(self, chunk, wavelet='gmw', scales='log', nv=32, fs=1.,
+                 N=None, history=None, lookahead=None, halo_mult=8.0,
+                 maprange='peak', flipud=True, gamma=None,
+                 deriv_lowprec=None, ssq=True):
+        self.chunk = int(chunk)
+        self.N_plan = int(N) if N is not None else 16 * self.chunk
+        self.ssq = bool(ssq)
+
+        wavelet = _process_gmw_wavelet(wavelet, l1_norm=True)
+        self.wavelet = Wavelet._init_if_not_isinstance(wavelet,
+                                                       N=self.N_plan)
+        self.dtype = self.wavelet.dtype
+        dt = 1. / fs
+        self.dt = dt
+
+        scales_np, scaletype, _, nv_ = process_scales(
+            scales, self.N_plan, self.wavelet, nv=nv, get_params=True)
+        self.scales_np = scales_np
+        max_scale = float(np.max(scales_np))
+
+        # per-row time support (the reliability contract): sigma_t grows
+        # linearly in scale, so estimate the slope at a reference scale
+        # (the time_sharded exact-path criterion, time_sharded.py:119)
+        from .models.wavelets import time_resolution
+        s_ref = float(np.clip(10., scales_np.min(), max_scale))
+        try:
+            sigma1 = float(time_resolution(
+                self.wavelet, s_ref, N=self.N_plan, nondim=False,
+                force_int=False)) / s_ref
+        except Exception:
+            sigma1 = 3.5
+        self.support_np = halo_mult * sigma1 * scales_np.squeeze()
+        ctx = max(64, min(int(np.ceil(self.support_np.max())),
+                          4 * self.chunk))
+        self.history = int(history) if history is not None else ctx
+        self.lookahead = int(lookahead) if lookahead is not None else ctx
+        if self.history < 0 or self.lookahead < 0:
+            raise ValueError("history/lookahead must be >= 0")
+
+        n_ext = self.history + self.chunk + self.lookahead
+        self.n_up = _next_fft_len(n_ext)
+        self.pad_extra = self.n_up - n_ext
+
+        self.ssq_freqs = _compute_associated_frequencies(
+            scales_np, self.N_plan, self.wavelet, scaletype, maprange,
+            True, dt, 'cwt')
+        if scaletype == 'log-piecewise':
+            from .utils.cwt_utils import nv_from_scales
+            const = np.log(2) / nv_from_scales(scales_np)
+        elif scaletype.startswith('log'):
+            const = np.log(2) / nv_
+        else:
+            const = ((scales_np[1] - scales_np[0]) / scales_np).squeeze()
+        c = np.asarray(const, np.float64).squeeze()
+        if c.ndim == 0:
+            c = np.full(len(scales_np), c)
+        self.const_np = c
+
+        self.params = ssq_bin_params(self.ssq_freqs,
+                                     scaletype.startswith('log'))
+        self.nbins = self.params['omax'] + 1
+        self.flipud = bool(flipud)
+        if gamma is None:
+            gamma = 10 * (EPS64 if self.dtype == 'float64' else EPS32)
+        self.gamma = float(gamma)
+        self.deriv_lowprec = deriv_lowprec
+
+        self._scales_j = jnp.asarray(scales_np, self.dtype)
+        self._const_j = jnp.asarray(c, self.dtype)
+        self._hist = None
+        self._pend = None
+        self._done = False
+        self._ncalls = 0
+        self._fn = self._build()
+
+    # -- compiled per-chunk body -------------------------------------
+    def _build(self):
+        wavelet, dtype = self.wavelet, self.dtype
+        h, c, l = self.history, self.chunk, self.lookahead
+        n_up, pad_extra = self.n_up, self.pad_extra
+        params, gamma, flipud = self.params, self.gamma, self.flipud
+        nbins, dt, ssq = self.nbins, self.dt, self.ssq
+        platform = jax.devices()[0].platform
+        na = len(self.scales_np)
+        nb_hint = np.clip(np.arange(na) if flipud
+                          else np.arange(na - 1, -1, -1),
+                          0, nbins - 1).astype(np.int32)
+
+        use_pallas, interp = _pallas_enabled(platform)
+        use_bins = False
+        if use_pallas and ssq:
+            from .ops.cwt_pallas import cwt_pallas_applicable
+            if (cwt_pallas_applicable(wavelet, n_up, True)
+                    and _is_analytic(wavelet)):
+                probe = wavelet.fn(jnp.zeros((1,), dtype), xp=jnp)
+                use_bins = not isinstance(probe, tuple)
+        self.uses_bins_pipeline = use_bins
+
+        if use_bins:
+            from .configs import get_config
+            from .ops.fft import fft as _fft
+            from .ops.cwt_pallas import (cwt_fused_bins_pallas,
+                                         support_klims)
+            from .ops.ssq_pallas import scatter_kv_pallas
+            lowprec = (get_config().ssq_lowprec_deriv
+                       if self.deriv_lowprec is None
+                       else self.deriv_lowprec)
+            klims = support_klims(wavelet, self.scales_np, n_up)
+            half = n_up // 2 + 1
+
+        def body(hist, pend, chunk, scales_j, const_j):
+            w = jnp.concatenate([hist, pend, chunk], axis=-1)
+            # carry for the next call: the history samples preceding the
+            # next emit region, and the trailing lookahead samples
+            new_hist = w[..., c:c + h]
+            new_pend = w[..., h + c:]
+            xe = w
+            if pad_extra:
+                xe = jnp.concatenate(
+                    [xe, _reflect(xe, pad_extra, False)], axis=-1)
+            if use_bins:
+                xh = _fft(Complex(xe, jnp.zeros_like(xe)), axis=-1,
+                          out_range=(0, half), imag_zero=True)
+                Wx, k = cwt_fused_bins_pallas(
+                    xh, scales_j, wavelet, n_up, h, c, dt, True,
+                    params, gamma, flipud, interpret=interp,
+                    deriv_lowprec=lowprec, klims=klims)
+                Tx = scatter_kv_pallas(Wx, k, const_j, nbins,
+                                       natural_bins=nb_hint,
+                                       interpret=interp)
+            else:
+                Wx, dWx = cwt_core(xe, wavelet, scales_j, dt,
+                                   derivative=ssq, l1_norm=True, n1=h,
+                                   N=c, rpadded=False, is_2d=True,
+                                   platform=platform)
+                if not ssq:
+                    z = jnp.zeros((1, 1, 1), dtype)
+                    return (z, z, Wx.re, Wx.im, new_hist, new_pend)
+                ww = jnp.abs(_imag_ratio_over_2pi(Wx, dWx))
+                valid = Wx.abs2() > jnp.asarray(gamma, dtype) ** 2
+                ww = jnp.where(valid, ww, jnp.inf)
+                k, kvalid = compute_bins(ww, params, flipud)
+                valid = valid & kvalid
+                cst = const_j.reshape(1, -1, 1)
+                vre, vim = Wx.re * cst, Wx.im * cst
+                Tx = jax.vmap(
+                    lambda a, b, kk, vv: _dispatch_scatter(
+                        a, b, kk, vv, nbins, nb_hint,
+                        platform=platform))(vre, vim, k, valid)
+            return Tx.re, Tx.im, Wx.re, Wx.im, new_hist, new_pend
+
+        return jax.jit(body)
+
+    # -- host-side driver --------------------------------------------
+    def _as_batch(self, x):
+        arr = np.asarray(x, self.dtype) if isinstance(x, np.ndarray) \
+            else jnp.asarray(x, self.dtype)
+        squeeze = arr.ndim == 1
+        if squeeze:
+            arr = arr[None]
+        if arr.shape[-1] != self.chunk:
+            raise ValueError("chunk length %d != plan chunk %d"
+                             % (arr.shape[-1], self.chunk))
+        return arr, squeeze
+
+    def _step(self, x):
+        outs = self._fn(self._hist, self._pend, x,
+                        self._scales_j, self._const_j)
+        txr, txi, wxr, wxi, self._hist, self._pend = outs
+        return txr, txi, wxr, wxi
+
+    def process(self, x):
+        """Feed `chunk` new samples; return (Tx_cols, Wx_cols) for the
+        newly-emittable columns. The emit region trails the newest sample
+        by `lookahead`, so the first ``ceil(lookahead/chunk)`` calls
+        return fewer — possibly zero — columns."""
+        if self._done:
+            raise RuntimeError("stream already finalized; call reset()")
+        x, squeeze = self._as_batch(x)
+        if self._hist is None:
+            self._squeeze = squeeze
+            # pre-signal context: reflect the first chunk's start
+            # (matches padsignal's no-edge-repeat 'reflect'; repeated
+            # reflection when the context exceeds one chunk)
+            xn = np.asarray(x, self.dtype)
+            pre = self.history + self.lookahead
+            padded = (np.pad(xn, [(0, 0), (pre, 0)], 'reflect')
+                      if pre else xn)
+            self._hist = jnp.asarray(padded[..., :self.history])
+            self._pend = jnp.asarray(
+                padded[..., self.history:self.history + self.lookahead])
+        txr, txi, wxr, wxi = self._step(jnp.asarray(x, self.dtype))
+        # columns at global index < 0 are pre-signal reflection: drop
+        lo = min(max(self.lookahead - self._ncalls * self.chunk, 0),
+                 self.chunk)
+        self._ncalls += 1
+        return self._emit(txr, txi, wxr, wxi, lo, self.chunk)
+
+    def finalize(self):
+        """Flush the last `lookahead` columns (reflected right padding).
+        Returns (Tx_cols, Wx_cols); (None, None) when lookahead == 0."""
+        if self._hist is None:
+            raise RuntimeError("no chunks processed")
+        self._done = True
+        c, l = self.chunk, self.lookahead
+        if l == 0:
+            return None, None
+        # continue the stream by reflecting its received end — enough
+        # material to fill every remaining window's look region
+        n_synth = -(-l // c) * c
+        tail = np.asarray(jnp.concatenate([self._hist, self._pend],
+                                          axis=-1))
+        synth = np.pad(tail, [(0, 0), (0, n_synth)],
+                       'reflect')[..., tail.shape[-1]:]
+        parts = []
+        for j in range(n_synth // c):
+            txr, txi, wxr, wxi = self._step(
+                jnp.asarray(synth[..., j * c:(j + 1) * c], self.dtype))
+            hi = min(max(l - j * c, 0), c)
+            parts.append(self._emit(txr, txi, wxr, wxi, 0, hi))
+        if len(parts) == 1:
+            return parts[0]
+        cat = (lambda ps: Complex(
+            jnp.concatenate([p.re for p in ps], axis=-1),
+            jnp.concatenate([p.im for p in ps], axis=-1)))
+        Wx = cat([p[1] for p in parts])
+        Tx = cat([p[0] for p in parts]) if self.ssq else None
+        return Tx, Wx
+
+    def _emit(self, txr, txi, wxr, wxi, lo, hi):
+        sl = (lambda a: a[0, ..., lo:hi] if self._squeeze
+              else a[..., lo:hi])
+        Wx = Complex(sl(wxr), sl(wxi))
+        Tx = Complex(sl(txr), sl(txi)) if self.ssq else None
+        return Tx, Wx
+
+    def reset(self):
+        """Forget all carried state; the compiled program is kept."""
+        self._hist = None
+        self._pend = None
+        self._done = False
+        self._ncalls = 0
+
+    @property
+    def n_reliable(self):
+        """Scale rows whose time support fits the context (rows are
+        support-ascending, so rows [0, n_reliable) meet the offline
+        equality criterion away from the global signal edges)."""
+        ctx = min(self.history, self.lookahead) if self.lookahead else \
+            self.history
+        return int((self.support_np <= ctx).sum())
+
+    @property
+    def ssq_freqs_out(self):
+        return self.ssq_freqs[::-1].copy()
+
+
+class StreamingCWT(StreamingSSQCWT):
+    """Online CWT (no reassignment): `process` returns Wx columns."""
+
+    def __init__(self, chunk, wavelet='gmw', scales='log', nv=32, fs=1.,
+                 **kw):
+        kw.pop('ssq', None)
+        super().__init__(chunk, wavelet, scales, nv, fs, ssq=False, **kw)
+
+    def process(self, x):
+        return super().process(x)[1]
+
+    def finalize(self):
+        return super().finalize()[1]
+
+
+def _drive(plan, x, chunk):
+    """Feed `x` through `plan` chunkwise; concatenate emitted columns."""
+    x = np.asarray(x)
+    squeeze = x.ndim == 1
+    xb = x[None] if squeeze else x
+    N = xb.shape[-1]
+    if N % chunk:
+        raise ValueError("signal length %d not divisible by chunk %d"
+                         % (N, chunk))
+    txs, wxs = [], []
+    for i in range(N // chunk):
+        t, w = StreamingSSQCWT.process(plan, xb[..., i * chunk:
+                                                (i + 1) * chunk])
+        txs.append(t)
+        wxs.append(w)
+    t, w = StreamingSSQCWT.finalize(plan)
+    if w is not None:
+        txs.append(t)
+        wxs.append(w)
+    cat = (lambda parts: Complex(
+        jnp.concatenate([p.re for p in parts], axis=-1),
+        jnp.concatenate([p.im for p in parts], axis=-1)))
+    Wx = cat(wxs)
+    Tx = cat(txs) if plan.ssq else None
+    if squeeze:
+        # _drive feeds (1, chunk) blocks, so emitted parts kept a batch
+        # dim of 1; the plan never saw a 1D chunk
+        Wx = Complex(Wx.re[0], Wx.im[0])
+        Tx = Complex(Tx.re[0], Tx.im[0]) if Tx is not None else None
+    return Tx, Wx
+
+
+def stream_ssq_cwt(x, chunk, wavelet='gmw', scales='log', nv=32, fs=1.,
+                   **kw):
+    """Offline convenience: run the streaming plan over a full signal.
+    Returns (Tx, Wx, ssq_freqs, scales) matching `ssq_cwt`'s column
+    count; useful for validating stream == offline."""
+    x = np.asarray(x)
+    plan = StreamingSSQCWT(chunk, wavelet, scales, nv, fs,
+                           N=kw.pop('N', x.shape[-1]), **kw)
+    Tx, Wx = _drive(plan, x, chunk)
+    return Tx, Wx, plan.ssq_freqs_out, plan.scales_np.squeeze()
+
+
+def stream_cwt(x, chunk, wavelet='gmw', scales='log', nv=32, fs=1.,
+               **kw):
+    """Offline convenience for the streaming CWT. Returns (Wx, scales)."""
+    x = np.asarray(x)
+    kw.pop('ssq', None)
+    plan = StreamingSSQCWT(chunk, wavelet, scales, nv, fs,
+                           N=kw.pop('N', x.shape[-1]), ssq=False, **kw)
+    _, Wx = _drive(plan, x, chunk)
+    return Wx, plan.scales_np.squeeze()
