@@ -82,8 +82,9 @@ from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
                               adm_ssq, adm_cwt, infer_scaletype,
                               logscale_transition_idx)
 
-from .streaming import (StreamingSSQCWT, StreamingCWT, stream_ssq_cwt,
-                        stream_cwt)
+from .streaming import (StreamingSSQCWT, StreamingCWT, StreamingSSQSTFT,
+                        StreamingSTFT, stream_ssq_cwt, stream_cwt,
+                        stream_ssq_stft, stream_stft)
 
 from . import configs
 from . import toolkit

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from .ops.complexlib import Complex
 from .ops.ssq_kernels import (ssq_bin_params, compute_bins,
-                              _dispatch_scatter, _pallas_enabled)
+                              _dispatch_scatter, _pallas_enabled,
+                              ssqueeze_fast, indexed_sum_onfly)
 from .ops.phase import _imag_ratio_over_2pi
 from .utils.common import EPS32, EPS64
 from .utils.cwt_utils import process_scales
@@ -42,11 +43,114 @@ from .models.cwt import cwt_core, _process_gmw_wavelet, _is_analytic
 from .models.ssqueezing import _compute_associated_frequencies
 from .parallel.time_sharded import _next_fft_len, _reflect
 
-__all__ = ['StreamingSSQCWT', 'StreamingCWT', 'stream_ssq_cwt',
-           'stream_cwt']
+__all__ = ['StreamingSSQCWT', 'StreamingCWT', 'StreamingSSQSTFT',
+           'StreamingSTFT', 'stream_ssq_cwt', 'stream_cwt',
+           'stream_ssq_stft', 'stream_stft']
 
 
-class StreamingSSQCWT:
+class _StreamingBase:
+    """Carry-state machinery shared by the streaming transforms: a
+    device-resident (history | pending-lookahead) buffer pair threaded
+    through one fixed-shape compiled step, plus the emission ledger
+    (which columns of each step's output are real signal positions).
+
+    Subclasses set ``chunk, history, lookahead, dtype, ssq, _fn,
+    _plan_args`` and may override `_emit`'s payload interpretation."""
+
+    def _init_state(self):
+        self._hist = None
+        self._pend = None
+        self._done = False
+        self._ncalls = 0
+
+    # -- host-side driver --------------------------------------------
+    def _as_batch(self, x):
+        arr = np.asarray(x, self.dtype) if isinstance(x, np.ndarray) \
+            else jnp.asarray(x, self.dtype)
+        squeeze = arr.ndim == 1
+        if squeeze:
+            arr = arr[None]
+        if arr.shape[-1] != self.chunk:
+            raise ValueError("chunk length %d != plan chunk %d"
+                             % (arr.shape[-1], self.chunk))
+        return arr, squeeze
+
+    def _step(self, x):
+        outs = self._fn(self._hist, self._pend, x, *self._plan_args)
+        txr, txi, wxr, wxi, self._hist, self._pend = outs
+        return txr, txi, wxr, wxi
+
+    def process(self, x):
+        """Feed `chunk` new samples; return (Tx_cols, Wx_cols) for the
+        newly-emittable columns. The emit region trails the newest sample
+        by `lookahead`, so the first ``ceil(lookahead/chunk)`` calls
+        return fewer — possibly zero — columns."""
+        if self._done:
+            raise RuntimeError("stream already finalized; call reset()")
+        x, squeeze = self._as_batch(x)
+        if self._hist is None:
+            self._squeeze = squeeze
+            # pre-signal context: reflect the first chunk's start
+            # (matches padsignal's no-edge-repeat 'reflect'; repeated
+            # reflection when the context exceeds one chunk)
+            xn = np.asarray(x, self.dtype)
+            pre = self.history + self.lookahead
+            padded = (np.pad(xn, [(0, 0), (pre, 0)], 'reflect')
+                      if pre else xn)
+            self._hist = jnp.asarray(padded[..., :self.history])
+            self._pend = jnp.asarray(
+                padded[..., self.history:self.history + self.lookahead])
+        txr, txi, wxr, wxi = self._step(jnp.asarray(x, self.dtype))
+        # columns at global index < 0 are pre-signal reflection: drop
+        lo = min(max(self.lookahead - self._ncalls * self.chunk, 0),
+                 self.chunk)
+        self._ncalls += 1
+        return self._emit(txr, txi, wxr, wxi, lo, self.chunk)
+
+    def finalize(self):
+        """Flush the last `lookahead` columns (reflected right padding).
+        Returns (Tx_cols, Wx_cols); (None, None) when lookahead == 0."""
+        if self._hist is None:
+            raise RuntimeError("no chunks processed")
+        self._done = True
+        c, l = self.chunk, self.lookahead
+        if l == 0:
+            return None, None
+        # continue the stream by reflecting its received end — enough
+        # material to fill every remaining window's look region
+        n_synth = -(-l // c) * c
+        tail = np.asarray(jnp.concatenate([self._hist, self._pend],
+                                          axis=-1))
+        synth = np.pad(tail, [(0, 0), (0, n_synth)],
+                       'reflect')[..., tail.shape[-1]:]
+        parts = []
+        for j in range(n_synth // c):
+            txr, txi, wxr, wxi = self._step(
+                jnp.asarray(synth[..., j * c:(j + 1) * c], self.dtype))
+            hi = min(max(l - j * c, 0), c)
+            parts.append(self._emit(txr, txi, wxr, wxi, 0, hi))
+        if len(parts) == 1:
+            return parts[0]
+        cat = (lambda ps: Complex(
+            jnp.concatenate([p.re for p in ps], axis=-1),
+            jnp.concatenate([p.im for p in ps], axis=-1)))
+        Wx = cat([p[1] for p in parts])
+        Tx = cat([p[0] for p in parts]) if self.ssq else None
+        return Tx, Wx
+
+    def _emit(self, txr, txi, wxr, wxi, lo, hi):
+        sl = (lambda a: a[0, ..., lo:hi] if self._squeeze
+              else a[..., lo:hi])
+        Wx = Complex(sl(wxr), sl(wxi))
+        Tx = Complex(sl(txr), sl(txi)) if self.ssq else None
+        return Tx, Wx
+
+    def reset(self):
+        """Forget all carried state; the compiled program is kept."""
+        self._init_state()
+
+
+class StreamingSSQCWT(_StreamingBase):
     """Online synchrosqueezed CWT over fixed-size chunks.
 
     Usage::
@@ -147,10 +251,8 @@ class StreamingSSQCWT:
 
         self._scales_j = jnp.asarray(scales_np, self.dtype)
         self._const_j = jnp.asarray(c, self.dtype)
-        self._hist = None
-        self._pend = None
-        self._done = False
-        self._ncalls = 0
+        self._plan_args = (self._scales_j, self._const_j)
+        self._init_state()
         self._fn = self._build()
 
     # -- compiled per-chunk body -------------------------------------
@@ -231,96 +333,6 @@ class StreamingSSQCWT:
 
         return jax.jit(body)
 
-    # -- host-side driver --------------------------------------------
-    def _as_batch(self, x):
-        arr = np.asarray(x, self.dtype) if isinstance(x, np.ndarray) \
-            else jnp.asarray(x, self.dtype)
-        squeeze = arr.ndim == 1
-        if squeeze:
-            arr = arr[None]
-        if arr.shape[-1] != self.chunk:
-            raise ValueError("chunk length %d != plan chunk %d"
-                             % (arr.shape[-1], self.chunk))
-        return arr, squeeze
-
-    def _step(self, x):
-        outs = self._fn(self._hist, self._pend, x,
-                        self._scales_j, self._const_j)
-        txr, txi, wxr, wxi, self._hist, self._pend = outs
-        return txr, txi, wxr, wxi
-
-    def process(self, x):
-        """Feed `chunk` new samples; return (Tx_cols, Wx_cols) for the
-        newly-emittable columns. The emit region trails the newest sample
-        by `lookahead`, so the first ``ceil(lookahead/chunk)`` calls
-        return fewer — possibly zero — columns."""
-        if self._done:
-            raise RuntimeError("stream already finalized; call reset()")
-        x, squeeze = self._as_batch(x)
-        if self._hist is None:
-            self._squeeze = squeeze
-            # pre-signal context: reflect the first chunk's start
-            # (matches padsignal's no-edge-repeat 'reflect'; repeated
-            # reflection when the context exceeds one chunk)
-            xn = np.asarray(x, self.dtype)
-            pre = self.history + self.lookahead
-            padded = (np.pad(xn, [(0, 0), (pre, 0)], 'reflect')
-                      if pre else xn)
-            self._hist = jnp.asarray(padded[..., :self.history])
-            self._pend = jnp.asarray(
-                padded[..., self.history:self.history + self.lookahead])
-        txr, txi, wxr, wxi = self._step(jnp.asarray(x, self.dtype))
-        # columns at global index < 0 are pre-signal reflection: drop
-        lo = min(max(self.lookahead - self._ncalls * self.chunk, 0),
-                 self.chunk)
-        self._ncalls += 1
-        return self._emit(txr, txi, wxr, wxi, lo, self.chunk)
-
-    def finalize(self):
-        """Flush the last `lookahead` columns (reflected right padding).
-        Returns (Tx_cols, Wx_cols); (None, None) when lookahead == 0."""
-        if self._hist is None:
-            raise RuntimeError("no chunks processed")
-        self._done = True
-        c, l = self.chunk, self.lookahead
-        if l == 0:
-            return None, None
-        # continue the stream by reflecting its received end — enough
-        # material to fill every remaining window's look region
-        n_synth = -(-l // c) * c
-        tail = np.asarray(jnp.concatenate([self._hist, self._pend],
-                                          axis=-1))
-        synth = np.pad(tail, [(0, 0), (0, n_synth)],
-                       'reflect')[..., tail.shape[-1]:]
-        parts = []
-        for j in range(n_synth // c):
-            txr, txi, wxr, wxi = self._step(
-                jnp.asarray(synth[..., j * c:(j + 1) * c], self.dtype))
-            hi = min(max(l - j * c, 0), c)
-            parts.append(self._emit(txr, txi, wxr, wxi, 0, hi))
-        if len(parts) == 1:
-            return parts[0]
-        cat = (lambda ps: Complex(
-            jnp.concatenate([p.re for p in ps], axis=-1),
-            jnp.concatenate([p.im for p in ps], axis=-1)))
-        Wx = cat([p[1] for p in parts])
-        Tx = cat([p[0] for p in parts]) if self.ssq else None
-        return Tx, Wx
-
-    def _emit(self, txr, txi, wxr, wxi, lo, hi):
-        sl = (lambda a: a[0, ..., lo:hi] if self._squeeze
-              else a[..., lo:hi])
-        Wx = Complex(sl(wxr), sl(wxi))
-        Tx = Complex(sl(txr), sl(txi)) if self.ssq else None
-        return Tx, Wx
-
-    def reset(self):
-        """Forget all carried state; the compiled program is kept."""
-        self._hist = None
-        self._pend = None
-        self._done = False
-        self._ncalls = 0
-
     @property
     def n_reliable(self):
         """Scale rows whose time support fits the context (rows are
@@ -350,6 +362,157 @@ class StreamingCWT(StreamingSSQCWT):
         return super().finalize()[1]
 
 
+class StreamingSSQSTFT(_StreamingBase):
+    """Online synchrosqueezed STFT (hop 1) over fixed-size chunks.
+
+    Unlike the CWT, the STFT kernel's time support is FINITE (`n_fft`
+    samples), so the streaming transform is *exact*: with
+    ``history = ceil((n_fft-1)/2)`` and ``lookahead = (n_fft-1)//2``
+    (fixed by the plan — precisely the offline conv-form pad geometry,
+    ops/stft_conv.py) every emitted column equals the offline
+    `stft`/`ssq_stft` column up to FFT rounding, including the global
+    edges when ``chunk >= n_fft`` (the edge reflections then draw on
+    identical samples). Latency is fixed at `lookahead` samples.
+
+    `process` returns (Tx_cols, Sx_cols); the per-chunk body is the
+    offline fast pipeline on a window of length ``chunk + n_fft - 1``
+    (conv-STFT bins kernel + k-consuming scatter on TPU, XLA elsewhere).
+    """
+
+    def __init__(self, chunk, window=None, n_fft=None, win_len=None,
+                 fs=1., modulated=True, ssq_freqs=None, squeezing='sum',
+                 gamma=None, flipud=False, dtype=None, ssq=True):
+        from .configs import default_dtype
+        from .models.stft import _window_key
+        from .models.windows import get_window as _gw, _check_NOLA
+        from .models.ssqueezing import _natural_bins
+        self.chunk = int(chunk)
+        self.ssq = bool(ssq)
+        n_fft = int(n_fft or min(512, self.chunk))
+        self.n_fft = n_fft
+        # exactness geometry: the conv output column j draws on window
+        # samples [j, j + n_fft); matching the offline pad arithmetic
+        # (ops/pad.py:25, odd pad extra on the left) pins the context
+        self.history = (n_fft - 1) - (n_fft - 1) // 2
+        self.lookahead = (n_fft - 1) // 2
+        self.dtype = dtype or default_dtype()
+        self.fs = float(fs)
+        self.modulated = bool(modulated)
+        if gamma is None:
+            gamma = 10 * (EPS64 if self.dtype == 'float64' else EPS32)
+        self.gamma = float(gamma)
+        self.flipud = bool(flipud)
+        self.squeezing = squeezing
+
+        win_len = int(win_len or n_fft)
+        win, dwin = _gw(window, win_len, n_fft, derivative=True,
+                        dtype=self.dtype)
+        _check_NOLA(win, 1, self.dtype)
+        self.win_key = _window_key(win, dwin)
+
+        n_rows = n_fft // 2 + 1
+        self.Sfs = np.linspace(0, .5 * self.fs, n_rows,
+                               dtype=self.dtype)
+        if ssq_freqs is None:
+            ssq_freqs = self.Sfs
+        self.ssq_freqs = np.asarray(ssq_freqs)
+        self.const = float(self.ssq_freqs[1] - self.ssq_freqs[0])
+        self.params = ssq_bin_params(self.ssq_freqs, logscale=False)
+        self.nbins = self.params['omax'] + 1
+        self._natural = _natural_bins('stft', None, self.ssq_freqs,
+                                      self.params, self.flipud, n_rows,
+                                      1. / self.fs)
+        self._init_state()
+        self._fn, self._plan_args = self._build()
+
+    def _build(self):
+        from .ops.stft_conv import (stft_conv, stft_conv_bins,
+                                    _device_filterbank,
+                                    _stft_pallas_applicable,
+                                    _next_fft_len as _nfl)
+        from .models.ssq_cwt import _apply_squeezing
+        c, h, l = self.chunk, self.history, self.lookahead
+        n_fft, dtype, fs_ = self.n_fft, self.dtype, self.fs
+        modulated, win_key = self.modulated, self.win_key
+        params, gamma, flipud = self.params, self.gamma, self.flipud
+        natural, const, nbins = self._natural, self.const, self.nbins
+        squeezing, ssq = self.squeezing, self.ssq
+        padlength = h + c + l                 # == c + n_fft - 1
+        Np2 = _nfl(padlength)
+        tables = _device_filterbank(win_key, n_fft, Np2, modulated,
+                                    dtype)
+        use_pallas, interp = _pallas_enabled(jax.devices()[0].platform)
+        sfs_key = tuple(float(v) for v in self.Sfs)
+        str_sq = squeezing is None or isinstance(squeezing, str)
+        bins_ok = (ssq and use_pallas and str_sq and
+                   (_stft_pallas_applicable(Np2, (padlength,))
+                    or interp))
+        self.uses_bins_pipeline = bins_ok
+        Sfs_np = self.Sfs
+
+        def body(hist, pend, chunk, *tbl):
+            w = jnp.concatenate([hist, pend, chunk], axis=-1)
+            new_hist = w[..., c:c + h]
+            new_pend = w[..., h + c:]
+            # the window IS the padded signal (stft_conv's internal
+            # padsignal is a no-op at exactly `padlength` samples)
+            if bins_ok and w.shape[0] == 1:
+                from .ops.ssq_pallas import scatter_kv_pallas
+                Sx1, k = stft_conv_bins(
+                    w[0], fs_, n_fft, c, win_key, modulated, 'reflect',
+                    padlength, dtype, params, gamma, flipud, sfs_key,
+                    tbl, interpret=interp)
+                Sx_s = _apply_squeezing(Sx1, squeezing)
+                Tx = scatter_kv_pallas(Sx_s, k, const, nbins,
+                                       natural_bins=natural,
+                                       interpret=interp)
+                return (Tx.re[None], Tx.im[None], Sx1.re[None],
+                        Sx1.im[None], new_hist, new_pend)
+            Sx, dSx = stft_conv(w, fs_, n_fft, c, win_key, modulated,
+                                ssq, 'reflect', padlength, dtype,
+                                tables=tbl)
+            if not ssq:
+                z = jnp.zeros((1, 1, 1), dtype)
+                return z, z, Sx.re, Sx.im, new_hist, new_pend
+            Sfs_j = jnp.asarray(Sfs_np)
+            if squeezing in (None, 'sum'):
+                Tx = ssqueeze_fast(Sx, dSx, None, const, logscale=False,
+                                   flipud=flipud, gamma=gamma, Sfs=Sfs_j,
+                                   params=params, natural_bins=natural)
+            else:
+                from .ops.phase import phase_stft
+                ww = phase_stft(Sx, dSx, Sfs_j, gamma)
+                Sx_s = _apply_squeezing(Sx, squeezing)
+                Tx = indexed_sum_onfly(Sx_s, ww, None, const,
+                                       logscale=False, flipud=flipud,
+                                       params=params,
+                                       natural_bins=natural)
+            return Tx.re, Tx.im, Sx.re, Sx.im, new_hist, new_pend
+
+        return jax.jit(body), tables
+
+    @property
+    def ssq_freqs_out(self):
+        return self.ssq_freqs[::-1].copy() if self.flipud \
+            else self.ssq_freqs.copy()
+
+
+class StreamingSTFT(StreamingSSQSTFT):
+    """Online STFT (no reassignment): `process` returns Sx columns."""
+
+    def __init__(self, chunk, window=None, n_fft=None, win_len=None,
+                 fs=1., **kw):
+        kw.pop('ssq', None)
+        super().__init__(chunk, window, n_fft, win_len, fs, ssq=False,
+                         **kw)
+
+    def process(self, x):
+        return super().process(x)[1]
+
+    def finalize(self):
+        return super().finalize()[1]
+
+
 def _drive(plan, x, chunk):
     """Feed `x` through `plan` chunkwise; concatenate emitted columns."""
     x = np.asarray(x)
@@ -361,11 +524,11 @@ def _drive(plan, x, chunk):
                          % (N, chunk))
     txs, wxs = [], []
     for i in range(N // chunk):
-        t, w = StreamingSSQCWT.process(plan, xb[..., i * chunk:
-                                                (i + 1) * chunk])
+        t, w = _StreamingBase.process(plan, xb[..., i * chunk:
+                                               (i + 1) * chunk])
         txs.append(t)
         wxs.append(w)
-    t, w = StreamingSSQCWT.finalize(plan)
+    t, w = _StreamingBase.finalize(plan)
     if w is not None:
         txs.append(t)
         wxs.append(w)
@@ -403,3 +566,21 @@ def stream_cwt(x, chunk, wavelet='gmw', scales='log', nv=32, fs=1.,
                            N=kw.pop('N', x.shape[-1]), ssq=False, **kw)
     _, Wx = _drive(plan, x, chunk)
     return Wx, plan.scales_np.squeeze()
+
+
+def stream_ssq_stft(x, chunk, window=None, n_fft=None, fs=1., **kw):
+    """Offline convenience: streaming ssq_stft over a full signal.
+    Returns (Tx, Sx, ssq_freqs, Sfs)."""
+    x = np.asarray(x)
+    plan = StreamingSSQSTFT(chunk, window, n_fft, fs=fs, **kw)
+    Tx, Sx = _drive(plan, x, chunk)
+    return Tx, Sx, plan.ssq_freqs_out, plan.Sfs
+
+
+def stream_stft(x, chunk, window=None, n_fft=None, fs=1., **kw):
+    """Offline convenience for the streaming STFT. Returns Sx."""
+    x = np.asarray(x)
+    kw.pop('ssq', None)
+    plan = StreamingSSQSTFT(chunk, window, n_fft, fs=fs, ssq=False, **kw)
+    _, Sx = _drive(plan, x, chunk)
+    return Sx

@@ -180,3 +180,78 @@ def test_stream_bins_pipeline_interpret():
     assert np.abs(Tx_p.sum(-2) - Tx_x.sum(-2)).max() < 1e-4 * m
     e_p, e_x = np.abs(Tx_p).sum(), np.abs(Tx_x).sum()
     assert abs(e_p - e_x) / e_x < 5e-3
+
+
+def test_stream_stft_exact():
+    """STFT kernels have finite support (n_fft), so streaming is EXACT
+    vs the offline transform — all columns including the global edges
+    (chunk >= n_fft: edge reflections draw on identical samples)."""
+    N, chunk, n_fft = 4096, 1024, 256
+    x = _chirp(N)
+    Sx_s = stq.stream_stft(x, chunk, n_fft=n_fft).to_numpy()
+    Sx_o = stq.stft(x, n_fft=n_fft).to_numpy()
+    assert Sx_s.shape == Sx_o.shape == (n_fft // 2 + 1, N)
+    rel = np.abs(Sx_s - Sx_o).max() / np.abs(Sx_o).max()
+    assert rel < 1e-5, rel
+
+
+def test_stream_ssq_stft_matches_and_reconstructs():
+    N, chunk, n_fft = 4096, 1024, 256
+    x = _chirp(N)
+    Tx, Sx, fr, Sfs = stq.stream_ssq_stft(x, chunk, n_fft=n_fft)
+    Tx = Tx.to_numpy()
+    assert Tx.shape[-1] == N
+
+    Tx_o, *_ = stq.ssq_stft(x, n_fft=n_fft, astensor=False)
+    cm = np.abs(Tx.sum(-2) - Tx_o.sum(-2)).max() / np.abs(Tx_o).max()
+    assert cm < 1e-4, cm
+
+    xr = np.asarray(stq.issq_stft(Tx, n_fft=n_fft))
+    assert stq.toolkit.mad_rms(x, xr) < 0.05
+
+
+def test_stream_stft_latency_geometry():
+    """Context is pinned by the conv pad arithmetic: history + lookahead
+    == n_fft - 1, emission covers every sample."""
+    from ssqueezepy_tpu.streaming import StreamingSSQSTFT
+    N, chunk, n_fft = 2048, 512, 128
+    x = _chirp(N)
+    plan = StreamingSSQSTFT(chunk, n_fft=n_fft)
+    assert plan.history + plan.lookahead == n_fft - 1
+    cols = []
+    for i in range(N // chunk):
+        Tx_c, Sx_c = plan.process(x[i * chunk:(i + 1) * chunk])
+        assert Tx_c.re.shape == Sx_c.re.shape
+        cols.append(Tx_c.re.shape[-1])
+    Tx_t, _ = plan.finalize()
+    cols.append(Tx_t.re.shape[-1])
+    assert sum(cols) == N
+    assert cols[0] == chunk - plan.lookahead and cols[-1] == plan.lookahead
+
+
+def test_stream_ssq_stft_bins_pipeline_interpret():
+    """Interpret-mode Pallas: the streaming STFT body must route through
+    the conv-STFT bins kernel + k-consuming scatter."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    from ssqueezepy_tpu.streaming import StreamingSSQSTFT
+    N, chunk, n_fft = 2048, 1024, 256
+    x = _chirp(N)
+    kw = dict(n_fft=n_fft, dtype='float32')
+    try:
+        p_x = StreamingSSQSTFT(chunk, **kw)
+        assert not p_x.uses_bins_pipeline
+        tx1 = [p_x.process(x[:chunk])[0], p_x.process(x[chunk:])[0],
+               p_x.finalize()[0]]
+        configure(pallas_interpret=True)
+        p_p = StreamingSSQSTFT(chunk, **kw)
+        assert p_p.uses_bins_pipeline
+        tx2 = [p_p.process(x[:chunk])[0], p_p.process(x[chunk:])[0],
+               p_p.finalize()[0]]
+    finally:
+        reset_config()
+    Tx_x = np.concatenate([t.to_numpy() for t in tx1], axis=-1)
+    Tx_p = np.concatenate([t.to_numpy() for t in tx2], axis=-1)
+    m = max(np.abs(Tx_x).max(), 1e-9)
+    assert np.abs(Tx_p.sum(-2) - Tx_x.sum(-2)).max() < 1e-4 * m
+    e_p, e_x = np.abs(Tx_p).sum(), np.abs(Tx_x).sum()
+    assert abs(e_p - e_x) / e_x < 5e-3
