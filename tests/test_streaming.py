@@ -255,3 +255,32 @@ def test_stream_ssq_stft_bins_pipeline_interpret():
     assert np.abs(Tx_p.sum(-2) - Tx_x.sum(-2)).max() < 1e-4 * m
     e_p, e_x = np.abs(Tx_p).sum(), np.abs(Tx_x).sum()
     assert abs(e_p - e_x) / e_x < 5e-3
+
+
+@pytest.mark.parametrize('wav,tol', [('morlet', 5e-3),
+                                     (('gmw', {'dtype': 'float64'}), 1e-4)])
+def test_stream_cwt_wavelet_variants(wav, tol):
+    """Non-analytic wavelet (morlet: XLA fallback body) and float64."""
+    N, chunk = 2048, 512
+    x = _chirp(N)
+    scales = _scales(16., 25)
+    Wx_s, _ = stq.stream_cwt(x, chunk, wav, scales=scales, nv=None, N=N)
+    Wx_o, _ = stq.cwt(x, wav, scales=scales, nv=None, astensor=False)
+    Wx_s = Wx_s.to_numpy()
+    m = 512
+    rel = (np.abs(Wx_s[..., m:-m] - Wx_o[..., m:-m]).max()
+           / np.abs(Wx_o).max())
+    assert rel < tol, rel
+
+
+@pytest.mark.parametrize('kw', [dict(n_fft=256, modulated=False),
+                                dict(n_fft=255),
+                                dict(n_fft=256, fs=100.)])
+def test_stream_stft_variants(kw):
+    """Unmodulated, odd n_fft, and physical fs all stay exact."""
+    N, chunk = 2048, 512
+    x = _chirp(N)
+    Sx_s = stq.stream_stft(x, chunk, **kw).to_numpy()
+    Sx_o = stq.stft(x, **kw).to_numpy()
+    rel = np.abs(Sx_s - Sx_o).max() / np.abs(Sx_o).max()
+    assert rel < 1e-5, (kw, rel)
