@@ -85,6 +85,7 @@ from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
 from .streaming import (StreamingSSQCWT, StreamingCWT, StreamingSSQSTFT,
                         StreamingSTFT, stream_ssq_cwt, stream_cwt,
                         stream_ssq_stft, stream_stft)
+from .streaming_multirate import StreamingMultirateSSQCWT
 
 from . import configs
 from . import toolkit

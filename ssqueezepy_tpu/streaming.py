@@ -124,11 +124,16 @@ class _StreamingBase:
         synth = np.pad(tail, [(0, 0), (0, n_synth)],
                        'reflect')[..., tail.shape[-1]:]
         parts = []
+        T = self._ncalls * c             # total real samples received
         for j in range(n_synth // c):
             txr, txi, wxr, wxi = self._step(
                 jnp.asarray(synth[..., j * c:(j + 1) * c], self.dtype))
-            hi = min(max(l - j * c, 0), c)
-            parts.append(self._emit(txr, txi, wxr, wxi, 0, hi))
+            # this step's emit region covers global columns
+            # [pos, pos + c); clamp to the real signal [0, T)
+            pos = (self._ncalls + j) * c - l
+            lo = min(max(-pos, 0), c)
+            hi = min(max(T - pos, 0), c)
+            parts.append(self._emit(txr, txi, wxr, wxi, lo, hi))
         if len(parts) == 1:
             return parts[0]
         cat = (lambda ps: Complex(
