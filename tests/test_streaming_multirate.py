@@ -103,3 +103,24 @@ def test_multirate_compute_ratio_and_geometry():
         assert a >= plan._ctx[j]
         assert a + L + plan._ctx[j] <= M
         assert 0 <= o < 2 ** j
+
+
+def test_multirate_batched_matches_single():
+    """Batched rows equal the single-signal plan (Wx to float rounding;
+    Tx via the bin-flip-invariant column sums)."""
+    N, chunk = 8192, 1024
+    n = np.arange(N)
+    x1 = _chirp(N, 0.005, 0.1)
+    x2 = np.sin(2 * np.pi * 0.03 * n).astype(np.float32)
+    scales = np.geomspace(1., 128., 85).reshape(-1, 1)
+    plan = StreamingMultirateSSQCWT(chunk, 'gmw', scales=scales,
+                                    nv=None, N=N)
+    Txb, Wxb = _drive(plan, np.stack([x1, x2]), chunk)
+    plan1 = StreamingMultirateSSQCWT(chunk, 'gmw', scales=scales,
+                                     nv=None, N=N)
+    Tx1, Wx1 = _drive(plan1, x1, chunk)
+    w0, w1 = np.asarray(Wxb.re)[0], np.asarray(Wx1.re)
+    assert np.abs(w0 - w1).max() / np.abs(w1).max() < 1e-5
+    cs0 = np.asarray(Txb.re)[0].sum(-2)
+    cs1 = np.asarray(Tx1.re).sum(-2)
+    assert np.abs(cs0 - cs1).max() / max(np.abs(cs1).max(), 1e-9) < 1e-4
