@@ -14,6 +14,9 @@ Variants (all on the same inputs, same output shape):
   fixed   — group loop and tier2 empty: prep + acc zero + edge + write
   global  — no 32-row groups: ONE dynamic q-loop over the full plane
             with global [dmin, dmax]
+  static  — no dynamic control flow at all: 8 full-plane rolls x a
+            trace-time q window from the placed offsets (EXACT — a
+            redesign candidate, not an ablation)
 Usage: python scripts/tpu_scatter_ablate.py [variants...] [T=1024]
 """
 import functools
@@ -42,7 +45,8 @@ from ssqueezepy_tpu.ops import ssq_pallas as sp
 _BIG = 2 ** 20
 
 
-def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24):
+def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
+                qstat=None):
     omax = nbins - 1
 
     def core(vre, vim, dm, offs, acc, oaccr, oacci, outr, outi):
@@ -84,6 +88,24 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24):
                 return 0
 
             jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
+        elif variant == 'static':
+            # STATIC two-tier sweep: no dynamic fori, no per-group
+            # ranges — 8 full-plane rolls x a trace-time q window from
+            # the placed offsets. Every slice offset is a static
+            # multiple of 8 (aligned rmw, no relayout).
+            qlo_s, qhi_s = qstat
+            apron = jnp.zeros((8, 2 * T), dt)
+            bigap = jnp.full((8, 2 * T), _BIG, jnp.int32)
+            vg = jnp.concatenate([v2, apron], axis=0)
+            dmg = jnp.concatenate([dm2, bigap], axis=0)
+            for r in range(8):
+                vr = vg if r == 0 else pltpu.roll(vg, r, 0)
+                dmr = dmg if r == 0 else pltpu.roll(dmg, r, 0)
+                for q in range(qlo_s, qhi_s + 1):
+                    off = base_off + 8 * q
+                    m = (dmr == 8 * q + r).astype(dt)
+                    acc[pl.ds(off, na_pad + 8)] = \
+                        acc[pl.ds(off, na_pad + 8)] + vr * m
         elif variant != 'fixed':
             zeros8 = jnp.zeros((8, 2 * T), dt)
             big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
@@ -186,9 +208,9 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24):
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'nat_key', 'variant',
-                                             'T'))
+                                             'T', 'interpret'))
 def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
-                    T=1024):
+                    T=1024, interpret=False):
     band = 24
     if ':B=' in variant:
         variant, b = variant.split(':B=')
@@ -198,6 +220,13 @@ def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
     placement = sp._plan_positions(nat_key, na, nbins)
     pos, plane = placement
     inv = sp._placement_gather(pos, plane, na)
+    qstat = None
+    if variant == 'static':
+        offs_np = np.asarray(sp._placed_offs(nat_key, pos, plane))
+        qlo_s = int(np.floor((offs_np.min() - band) / 8))
+        qhi_s = int(np.floor((offs_np.max() + band) / 8))
+        assert qlo_s >= -7, (qlo_s, "grow base_off for this geometry")
+        qstat = (qlo_s, qhi_s)
     na_pad = plane
     nbins_pad = -(-max(nbins, 8) // 8) * 8
     N_pad = -(-N // T) * T
@@ -213,7 +242,7 @@ def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
     offs = jnp.asarray(sp._placed_offs(nat_key, pos, plane))
 
     kernel = make_kernel(na_pad, nbins_pad, T, nbins, variant, G=G,
-                         BAND=band)
+                         BAND=band, qstat=qstat)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -233,6 +262,7 @@ def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
             pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(prep(wxr), prep(wxi), k_, const_, offs)
     return out_re[:nbins, :N], out_im[:nbins, :N]
 
@@ -309,7 +339,7 @@ def main():
             ref = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 'full', T)[0][:, ::371]))
-        elif ref is not None and v == 'global':
+        elif ref is not None and v in ('global', 'static'):
             got = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 v, T)[0][:, ::371]))
