@@ -26,7 +26,7 @@ from .windows import get_window, _check_NOLA
 from .ssq_cwt import (_invert_components, _apply_squeezing,
                       _process_component_inversion_args)
 
-__all__ = ['ssq_stft', 'issq_stft']
+__all__ = ['ssq_stft', 'ssq_stft2', 'issq_stft']
 
 
 @functools.lru_cache(maxsize=32)
@@ -297,3 +297,109 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
 
     x *= (2 / window[len(window) // 2])
     return x
+
+
+def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
+              modulated=True, ssq_freqs=None, padtype='reflect',
+              squeezing='sum', gamma=None, dtype=None, astensor=True,
+              flipud=False, get_w=False):
+    """Second-order synchrosqueezed STFT (FSST2) — BEYOND the reference
+    library's surface (no analog in /root/reference; method: Oberlin,
+    Meignen & Perrier 2015, "Second-order synchrosqueezing transform").
+
+    First-order reassignment (`ssq_stft`) estimates a pure-tone
+    instantaneous frequency ``w1 = Sfs - Im(V^g' / V)/2pi``, which
+    smears frequency-modulated components by (chirp rate) x (window
+    duration)^2. FSST2 adds a local chirp-rate correction
+
+        q  = Im( (V^g'' V - (V^g')^2) / (V^tg' V - V^tg V^g') )
+        w2 = w1 + (fs / 2pi) * q * Re(V^tg / V)
+
+    (per-sample units; the five STFTs share one conv plan family).
+    Empirically exact on linear chirps to float precision — asserted in
+    tests/test_ssq_stft2.py — and reduces to w1 on pure tones (the
+    numerator vanishes; the denominator never does: |D| ~ |V|^2 by the
+    Gabor commutator, so no extra gating is needed beyond `gamma`).
+    Inversion is `issq_stft` unchanged: reassignment only moves energy
+    between rows of a column.
+
+    Returns (Tx, Sx, ssq_freqs, Sfs).
+    """
+    from ..configs import default_dtype
+    xnp = np.asarray(x) if isinstance(x, (list, np.ndarray)) else x
+    N = xnp.shape[-1]
+    _, fs_, _ = _process_fs_and_t(fs, t, N)
+    _check_ssqueezing_args(squeezing)
+
+    n_fft_ = int(n_fft or min(N, 512))
+    if win_len is None:
+        win_len = (len(window) if isinstance(window, np.ndarray)
+                   else n_fft_)
+    dtype_ = dtype or default_dtype()
+    if gamma is None:
+        gamma = 10 * (EPS64 if dtype_ == 'float64' else EPS32)
+    gamma = float(gamma)
+
+    g, dg = get_window(window, win_len, n_fft_, derivative=True,
+                       dtype=dtype_)
+    g, dg = np.asarray(g), np.asarray(dg)
+    _, d2g = get_window(dg, n_fft_, n_fft_, derivative=True,
+                        dtype=dtype_)
+    d2g = np.asarray(d2g)
+    nc = (np.arange(n_fft_) - n_fft_ // 2).astype(g.dtype)
+    tg, tdg = nc * g, nc * dg
+
+    kw = dict(n_fft=n_fft_, fs=fs_, padtype=padtype,
+              modulated=modulated, dtype=dtype_)
+    V, dV = stft(xnp, window=g, derivative=True, **kw)
+    Vt = stft(xnp, window=tg, **kw)
+    Vtd = stft(xnp, window=tdg, **kw)
+    Vd2 = stft(xnp, window=d2g, **kw)
+
+    n_rows = n_fft_ // 2 + 1
+    Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
+    if ssq_freqs is None:
+        ssq_freqs = Sfs
+    ssq_freqs = np.asarray(ssq_freqs)
+    const = float(ssq_freqs[1] - ssq_freqs[0])
+    params = ssq_bin_params(ssq_freqs, logscale=False)
+    from .ssqueezing import _natural_bins
+    natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
+                            n_rows, 1. / fs_)
+
+    tiny = jnp.asarray(np.finfo(np.dtype(dtype_)).tiny * 1e3, dtype_)
+
+    def cdiv(a, b):
+        d = b.abs2() + tiny
+        return Complex((a.re * b.re + a.im * b.im) / d,
+                       (a.im * b.re - a.re * b.im) / d)
+
+    inv_fs = 1. / fs_
+    Vg1 = Complex(dV.re * inv_fs, dV.im * inv_fs)   # per-sample V^g'
+    rV = cdiv(dV, V)
+    shape = [1] * V.re.ndim
+    shape[-2] = -1
+    Sfs_j = jnp.asarray(Sfs, dtype_).reshape(shape)
+    w1 = Sfs_j - rV.im / (2 * np.pi)
+    trel = cdiv(Vt, V).re
+    N2 = Vd2 * V - Vg1 * Vg1
+    D2 = Vtd * V - Vt * Vg1
+    q = cdiv(N2, D2).im
+    w2 = jnp.abs(w1 + (fs_ / (2 * np.pi)) * q * trel)
+    w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
+    w2 = jnp.where(V.abs2() > jnp.asarray(gamma, dtype_) ** 2, w2,
+                   jnp.inf)
+
+    Sx_s = _apply_squeezing(V, squeezing)
+    Tx = indexed_sum_onfly(Sx_s, w2, None, const, logscale=False,
+                           flipud=flipud, params=params,
+                           natural_bins=natural)
+
+    ssq_freqs_out = (ssq_freqs[::-1].copy() if flipud else ssq_freqs)
+    if not astensor:
+        Tx = Tx.to_numpy()
+        V = V.to_numpy()
+    if get_w:
+        return Tx, V, ssq_freqs_out, Sfs, (np.asarray(w2) if not astensor
+                                           else w2)
+    return Tx, V, ssq_freqs_out, Sfs
