@@ -299,6 +299,86 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
     return x
 
 
+@functools.lru_cache(maxsize=16)
+def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
+                        padlength, Np2, fs_val, flipud, squeezing,
+                        param_items, gamma, natural_key, sfs_key,
+                        const_val, fused_tx):
+    """Cached fused FSST2 jit: raw signal -> (Tx, V, w2). The five
+    window STFTs (g, g', tg, tg', g'') share ONE forward FFT — the
+    (5*n_rows, Np2) filterbank bank multiplies the signal spectrum and
+    one batched matmul IFFT produces all rows; the second-order phase
+    math and the reassignment run in the same program. `fused_tx=False`
+    (callable squeezing) skips the in-jit scatter and returns
+    (None, V, w2) for the eager squeeze+scatter path."""
+    from ..ops.pad import padsignal
+    from ..ops.fft import fft, ifft
+    from ..ops.stft_conv import _device_filterbank_multi
+    params = dict(param_items)
+    natural = (np.asarray(natural_key, np.int32) if natural_key is not None
+               else None)
+    Sfs_np = np.asarray(sfs_key, dtype)
+    const = float(const_val)
+    n_rows = n_fft // 2 + 1
+    N = shape[-1]
+    is_2d = (len(shape) == 2)
+    # device tables built EAGERLY (outside any trace) and passed as jit
+    # ARGUMENTS — closed-over device arrays inline as jaxpr constants
+    # and lowering fetches them to host (minutes at large N)
+    tables = _device_filterbank_multi(bank_key, int(n_fft), int(Np2),
+                                      bool(modulated), dtype)
+    tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
+    fs_f = float(fs_val)
+
+    def run(xj, Hre, Him):
+        xj = xj.astype(dtype)
+        xp = padsignal(xj, padtype, padlength=padlength)
+        xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
+        if is_2d:
+            xh = Complex(xh.re[:, None], xh.im[:, None])
+        pr = Hre * xh.re - Him * xh.im
+        pi = Hre * xh.im + Him * xh.re
+        S = ifft(Complex(pr, pi), n=Np2, out_range=(0, N))
+
+        def part(i):
+            sl = slice(i * n_rows, (i + 1) * n_rows)
+            return Complex(S.re[..., sl, :], S.im[..., sl, :])
+
+        # per-sample units throughout (the bank windows are unscaled)
+        V, Vg1, Vt, Vtd, Vd2 = (part(i) for i in range(5))
+
+        def cdiv(a, b):
+            d = b.abs2() + tiny
+            return Complex((a.re * b.re + a.im * b.im) / d,
+                           (a.im * b.re - a.re * b.im) / d)
+
+        rshape = [1] * V.re.ndim
+        rshape[-2] = -1
+        Sfs_j = jnp.asarray(Sfs_np).reshape(rshape)
+        w1 = Sfs_j - fs_f * cdiv(Vg1, V).im / (2 * np.pi)
+        trel = cdiv(Vt, V).re
+        N2 = Vd2 * V - Vg1 * Vg1
+        D2 = Vtd * V - Vt * Vg1
+        q = cdiv(N2, D2).im
+        w2 = jnp.abs(w1 + (fs_f / (2 * np.pi)) * q * trel)
+        w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
+        w2 = jnp.where(V.abs2() > jnp.asarray(gamma, dtype) ** 2, w2,
+                       jnp.inf)
+        if not fused_tx:
+            return None, V, w2
+        Sx_s = _apply_squeezing(V, squeezing)
+        Tx = indexed_sum_onfly(Sx_s, w2, None, const, logscale=False,
+                               flipud=flipud, params=params,
+                               natural_bins=natural)
+        return Tx, V, w2
+
+    jitted = jax.jit(run)
+    return lambda xj: jitted(xj, *tables)
+
+
+_SSQ_STFT2_PLANS = {}
+
+
 def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
               modulated=True, ssq_freqs=None, padtype='reflect',
               squeezing='sum', gamma=None, dtype=None, astensor=True,
@@ -315,17 +395,23 @@ def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
         q  = Im( (V^g'' V - (V^g')^2) / (V^tg' V - V^tg V^g') )
         w2 = w1 + (fs / 2pi) * q * Re(V^tg / V)
 
-    (per-sample units; the five STFTs share one conv plan family).
-    Empirically exact on linear chirps to float precision — asserted in
-    tests/test_ssq_stft2.py — and reduces to w1 on pure tones (the
-    numerator vanishes; the denominator never does: |D| ~ |V|^2 by the
-    Gabor commutator, so no extra gating is needed beyond `gamma`).
-    Inversion is `issq_stft` unchanged: reassignment only moves energy
-    between rows of a column.
+    (per-sample units). Empirically exact on linear chirps to float
+    precision — asserted in tests/test_ssq_stft2.py — and reduces to w1
+    on pure tones (the numerator vanishes; the denominator never does:
+    |D| ~ |V|^2 by the Gabor commutator, so no extra gating is needed
+    beyond `gamma`). Inversion is `issq_stft` unchanged: reassignment
+    only moves energy between rows of a column.
 
-    Returns (Tx, Sx, ssq_freqs, Sfs).
+    Execution: ONE cached jit per plan — the five STFTs (g, g', t*g,
+    t*g', g'') are rows of a single conv-form filterbank sharing one
+    forward FFT (`ops/stft_conv._conv_filterbank_multi`), so the full
+    pipeline (pad -> FFT -> bank multiply -> batched IFFT -> chirp-rate
+    math -> reassignment) is a single program on both backends.
+
+    Returns (Tx, Sx, ssq_freqs, Sfs[, w2 if get_w]).
     """
     from ..configs import default_dtype
+    from ..ops.stft_conv import _bank_key, _next_fft_len
     xnp = np.asarray(x) if isinstance(x, (list, np.ndarray)) else x
     N = xnp.shape[-1]
     _, fs_, _ = _process_fs_and_t(fs, t, N)
@@ -340,62 +426,59 @@ def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
         gamma = 10 * (EPS64 if dtype_ == 'float64' else EPS32)
     gamma = float(gamma)
 
-    g, dg = get_window(window, win_len, n_fft_, derivative=True,
-                       dtype=dtype_)
-    g, dg = np.asarray(g), np.asarray(dg)
-    _, d2g = get_window(dg, n_fft_, n_fft_, derivative=True,
-                        dtype=dtype_)
-    d2g = np.asarray(d2g)
-    nc = (np.arange(n_fft_) - n_fft_ // 2).astype(g.dtype)
-    tg, tdg = nc * g, nc * dg
+    def wkey(spec):
+        if isinstance(spec, np.ndarray):
+            return ('nd', hash(spec.tobytes()), spec.shape,
+                    str(spec.dtype))
+        return spec                        # None or str
 
-    kw = dict(n_fft=n_fft_, fs=fs_, padtype=padtype,
-              modulated=modulated, dtype=dtype_)
-    V, dV = stft(xnp, window=g, derivative=True, **kw)
-    Vt = stft(xnp, window=tg, **kw)
-    Vtd = stft(xnp, window=tdg, **kw)
-    Vd2 = stft(xnp, window=d2g, **kw)
+    sq_str = squeezing if isinstance(squeezing, str) else None
+    plankey = (wkey(window), wkey(ssq_freqs), xnp.shape, n_fft_, win_len,
+               float(fs_), bool(modulated), padtype, dtype_, gamma,
+               bool(flipud), sq_str)
+    plan = _SSQ_STFT2_PLANS.get(plankey)
+    if plan is None:
+        g, dg = get_window(window, win_len, n_fft_, derivative=True,
+                           dtype=dtype_)
+        g, dg = np.asarray(g), np.asarray(dg)
+        _, d2g = get_window(dg, n_fft_, n_fft_, derivative=True,
+                            dtype=dtype_)
+        d2g = np.asarray(d2g)
+        nc = (np.arange(n_fft_) - n_fft_ // 2).astype(np.float64)
+        bank = np.stack([g, dg, nc * g, nc * dg, d2g]).astype(np.float64)
+        bank_key = _bank_key(bank)
 
-    n_rows = n_fft_ // 2 + 1
-    Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
-    if ssq_freqs is None:
-        ssq_freqs = Sfs
-    ssq_freqs = np.asarray(ssq_freqs)
-    const = float(ssq_freqs[1] - ssq_freqs[0])
-    params = ssq_bin_params(ssq_freqs, logscale=False)
-    from .ssqueezing import _natural_bins
-    natural = _natural_bins('stft', None, ssq_freqs, params, flipud,
-                            n_rows, 1. / fs_)
+        n_rows = n_fft_ // 2 + 1
+        Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)
+        sfreqs = Sfs if ssq_freqs is None else np.asarray(ssq_freqs)
+        const = float(sfreqs[1] - sfreqs[0])
+        params = ssq_bin_params(sfreqs, logscale=False)
+        from .ssqueezing import _natural_bins
+        natural = _natural_bins('stft', None, sfreqs, params, flipud,
+                                n_rows, 1. / fs_)
+        padlength = N + n_fft_ - 1
+        runner = _ssq_stft2_fast_jit(
+            xnp.shape, dtype_, n_fft_, bool(modulated), bank_key, padtype,
+            padlength, int(_next_fft_len(padlength)), float(fs_),
+            bool(flipud), sq_str, tuple(sorted(params.items())), gamma,
+            tuple(natural.tolist()) if natural is not None else None,
+            tuple(Sfs.tolist()), const, fused_tx=(sq_str is not None))
+        plan = (runner, Sfs, sfreqs, const, params, natural)
+        _SSQ_STFT2_PLANS[plankey] = plan
+    runner, Sfs, sfreqs, const, params, natural = plan
 
-    tiny = jnp.asarray(np.finfo(np.dtype(dtype_)).tiny * 1e3, dtype_)
+    xj = (xnp if isinstance(xnp, jax.Array) and str(xnp.dtype) == dtype_
+          else jnp.asarray(xnp, dtype=dtype_))
+    Tx, V, w2 = runner(xj)
+    if Tx is None:
+        # callable squeezing: user fn applied eagerly between the fused
+        # phase math and the scatter
+        Sx_s = _apply_squeezing(V, squeezing)
+        Tx = indexed_sum_onfly(Sx_s, w2, None, const, logscale=False,
+                               flipud=flipud, params=params,
+                               natural_bins=natural)
 
-    def cdiv(a, b):
-        d = b.abs2() + tiny
-        return Complex((a.re * b.re + a.im * b.im) / d,
-                       (a.im * b.re - a.re * b.im) / d)
-
-    inv_fs = 1. / fs_
-    Vg1 = Complex(dV.re * inv_fs, dV.im * inv_fs)   # per-sample V^g'
-    rV = cdiv(dV, V)
-    shape = [1] * V.re.ndim
-    shape[-2] = -1
-    Sfs_j = jnp.asarray(Sfs, dtype_).reshape(shape)
-    w1 = Sfs_j - rV.im / (2 * np.pi)
-    trel = cdiv(Vt, V).re
-    N2 = Vd2 * V - Vg1 * Vg1
-    D2 = Vtd * V - Vt * Vg1
-    q = cdiv(N2, D2).im
-    w2 = jnp.abs(w1 + (fs_ / (2 * np.pi)) * q * trel)
-    w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
-    w2 = jnp.where(V.abs2() > jnp.asarray(gamma, dtype_) ** 2, w2,
-                   jnp.inf)
-
-    Sx_s = _apply_squeezing(V, squeezing)
-    Tx = indexed_sum_onfly(Sx_s, w2, None, const, logscale=False,
-                           flipud=flipud, params=params,
-                           natural_bins=natural)
-
-    ssq_freqs_out = (ssq_freqs[::-1].copy() if flipud else ssq_freqs)
+    ssq_freqs_out = (sfreqs[::-1].copy() if flipud else sfreqs)
     if not astensor:
         Tx = Tx.to_numpy()
         V = V.to_numpy()

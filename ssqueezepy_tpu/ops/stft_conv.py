@@ -77,6 +77,61 @@ def _conv_filterbank(win_key, n_fft, Np2, modulated):
     return H, Hd
 
 
+_BANK_CACHE = {}
+
+
+def _bank_key(bank):
+    """Register a (n_w, n_fft) float64 window bank; returns a hashable
+    key for the lru-cached spectra builders below."""
+    bank = np.ascontiguousarray(np.asarray(bank, np.float64))
+    key = ('bank', hash(bank.tobytes()), bank.shape)
+    _BANK_CACHE[key] = bank
+    return key
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_filterbank_multi(bank_key, n_fft, Np2, modulated, dtype):
+    """H spectra for a BANK of windows sharing one modulation geometry
+    (the `ssq_stft2` five-window family): returns (Hre, Him) numpy
+    (n_w * n_rows, Np2) `dtype`, window-major. Built one window at a
+    time so the complex128 intermediate never exceeds one window."""
+    bank = _BANK_CACHE[bank_key]
+    n_rows = n_fft // 2 + 1
+
+    if modulated:
+        s20 = int(np.ceil(n_fft / 2))
+        s21 = s20 - 1 if (n_fft % 2 == 1) else s20
+        vv = np.roll(np.fft.ifftshift(bank, axes=-1), s21, axis=-1)
+        ck = np.exp(2j * np.pi * np.arange(n_rows) * s21 / n_fft)
+    else:
+        vv = bank
+        ck = np.ones(n_rows)
+
+    m = np.arange(n_fft)
+    cis = np.exp(-2j * np.pi * np.outer(np.arange(n_rows), m) / n_fft)
+    n_w = vv.shape[0]
+    Hre = np.empty((n_w * n_rows, Np2), dtype)
+    Him = np.empty((n_w * n_rows, Np2), dtype)
+    for i in range(n_w):
+        g = np.zeros((n_rows, Np2), np.complex128)
+        g[:, :n_fft] = (ck[:, None] * cis) * vv[i]
+        H = np.conj(np.fft.fft(np.conj(g), axis=-1))
+        Hre[i * n_rows:(i + 1) * n_rows] = H.real
+        Him[i * n_rows:(i + 1) * n_rows] = H.imag
+    return Hre, Him
+
+
+def _device_filterbank_multi(bank_key, n_fft, Np2, modulated, dtype):
+    key = ('multi', bank_key, n_fft, Np2, modulated, dtype)
+    hit = _FB_DEV_CACHE.get(key)
+    if hit is None:
+        Hre, Him = _conv_filterbank_multi(bank_key, n_fft, Np2, modulated,
+                                          dtype)
+        hit = (jnp.asarray(Hre), jnp.asarray(Him))
+        _FB_DEV_CACHE[key] = hit
+    return hit
+
+
 @functools.lru_cache(maxsize=16)
 def _stft_conv_jit(shape, dtype, Np2, N_out, derivative, padtype,
                    padlength):
