@@ -72,6 +72,7 @@ from .models.stft import stft, istft
 from .models.windows import get_window
 from .models.ssqueezing import ssqueeze
 from .models.ssq_cwt import ssq_cwt, issq_cwt
+from .models.ssq_cwt2 import ssq_cwt2
 from .models.ssq_stft import ssq_stft, ssq_stft2, issq_stft
 from .models.ridge_extraction import extract_ridges
 from .models.test_signals import TestSignals
