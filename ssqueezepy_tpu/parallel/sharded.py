@@ -383,4 +383,13 @@ def dryrun_multichip(n_devices):
     Ts, Ss = splan(x)
     jax.block_until_ready(Ts.re)
     assert np.isfinite(np.asarray(Ts.re)).all()
+
+    # second-order (WSST2) under scale sharding: the five-kernel
+    # filterbank block + per-cell chirp regression per shard, one psum
+    from .sharded_order2 import ShardedSSQCWT2
+    p2 = ShardedSSQCWT2(N, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
+                        mesh=mesh)
+    T2, W2 = p2(x)
+    jax.block_until_ready(T2.re)
+    assert np.isfinite(np.asarray(T2.re)).all()
     return True

@@ -142,3 +142,27 @@ def test_wsst2_morlet_and_rejection():
     assert np.isfinite(np.abs(Tx)).all()
     with pytest.raises(NotImplementedError):
         stq.ssq_cwt2(x, wavelet=('bump', {'om': 1.}))
+
+
+def test_wsst2_sharded_equals_single():
+    """Scale-sharded WSST2 on the virtual 8-device mesh equals the
+    single-device transform (same criterion as the first-order sharded
+    tests: f32 bin-boundary flips allowed in the map, column sums
+    tight)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ssqueezepy_tpu.parallel import make_mesh, ShardedSSQCWT2
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 512)).astype(np.float32)
+    mesh = make_mesh(batch=2, scale=4)
+    plan = ShardedSSQCWT2(512, ('gmw', {'dtype': 'float32'}),
+                          scales='log', nv=16, mesh=mesh)
+    Tx_s, Wx_s = plan(x)
+    Tx_1, Wx_1, sf_1, _ = stq.ssq_cwt2(
+        x, ('gmw', {'dtype': 'float32'}), scales='log', nv=16,
+        astensor=False)
+    assert np.abs(Wx_s.to_numpy() - Wx_1).max() < 1e-5
+    assert np.abs(Tx_s.to_numpy() - Tx_1).max() < 6e-3
+    assert np.abs(Tx_s.to_numpy().sum(-2) - Tx_1.sum(-2)).max() < 1e-5
+    assert np.allclose(plan.ssq_freqs_out, sf_1)
