@@ -84,8 +84,9 @@ from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
                               logscale_transition_idx)
 
 from .streaming import (StreamingSSQCWT, StreamingCWT, StreamingSSQSTFT,
-                        StreamingSTFT, stream_ssq_cwt, stream_cwt,
-                        stream_ssq_stft, stream_stft)
+                        StreamingSSQSTFT2, StreamingSTFT, stream_ssq_cwt,
+                        stream_cwt, stream_ssq_stft, stream_ssq_stft2,
+                        stream_stft)
 from .streaming_multirate import StreamingMultirateSSQCWT
 
 from . import configs

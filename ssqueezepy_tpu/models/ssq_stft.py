@@ -299,6 +299,55 @@ def issq_stft(Tx, window=None, cc=None, cw=None, n_fft=None, win_len=None,
     return x
 
 
+def _fsst2_rows(xh, Hre, Him, n_rows, Np2, N_out, fs, Sfs_np, gamma,
+                dtype, tiny):
+    """Traceable FSST2 core: signal spectrum + five-window bank spectra
+    -> (V, w2). Shared by the offline fused jit and the streaming body.
+    Per-sample units throughout (the bank windows are unscaled); `w2`
+    in physical Hz, inf-marked where gamma-gated."""
+    from ..ops.fft import ifft
+    pr = Hre * xh.re - Him * xh.im
+    pi = Hre * xh.im + Him * xh.re
+    S = ifft(Complex(pr, pi), n=Np2, out_range=(0, N_out))
+
+    def part(i):
+        sl = slice(i * n_rows, (i + 1) * n_rows)
+        return Complex(S.re[..., sl, :], S.im[..., sl, :])
+
+    V, Vg1, Vt, Vtd, Vd2 = (part(i) for i in range(5))
+
+    def cdiv(a, b):
+        d = b.abs2() + tiny
+        return Complex((a.re * b.re + a.im * b.im) / d,
+                       (a.im * b.re - a.re * b.im) / d)
+
+    rshape = [1] * V.re.ndim
+    rshape[-2] = -1
+    Sfs_j = jnp.asarray(Sfs_np).reshape(rshape)
+    w1 = Sfs_j - fs * cdiv(Vg1, V).im / (2 * np.pi)
+    trel = cdiv(Vt, V).re
+    N2 = Vd2 * V - Vg1 * Vg1
+    D2 = Vtd * V - Vt * Vg1
+    q = cdiv(N2, D2).im
+    w2 = jnp.abs(w1 + (fs / (2 * np.pi)) * q * trel)
+    w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
+    w2 = jnp.where(V.abs2() > jnp.asarray(gamma, dtype) ** 2, w2,
+                   jnp.inf)
+    return V, w2
+
+
+def _fsst2_bank(window, win_len, n_fft, dtype):
+    """The five FSST2 analysis windows (g, g', t g, t g', g'') as a
+    (5, n_fft) float64 bank (shared by offline and streaming plans)."""
+    g, dg = get_window(window, win_len, n_fft, derivative=True,
+                       dtype=dtype)
+    g, dg = np.asarray(g), np.asarray(dg)
+    _, d2g = get_window(dg, n_fft, n_fft, derivative=True, dtype=dtype)
+    d2g = np.asarray(d2g)
+    nc = (np.arange(n_fft) - n_fft // 2).astype(np.float64)
+    return np.stack([g, dg, nc * g, nc * dg, d2g]).astype(np.float64)
+
+
 @functools.lru_cache(maxsize=16)
 def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
                         padlength, Np2, fs_val, flipud, squeezing,
@@ -336,34 +385,8 @@ def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
         xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
         if is_2d:
             xh = Complex(xh.re[:, None], xh.im[:, None])
-        pr = Hre * xh.re - Him * xh.im
-        pi = Hre * xh.im + Him * xh.re
-        S = ifft(Complex(pr, pi), n=Np2, out_range=(0, N))
-
-        def part(i):
-            sl = slice(i * n_rows, (i + 1) * n_rows)
-            return Complex(S.re[..., sl, :], S.im[..., sl, :])
-
-        # per-sample units throughout (the bank windows are unscaled)
-        V, Vg1, Vt, Vtd, Vd2 = (part(i) for i in range(5))
-
-        def cdiv(a, b):
-            d = b.abs2() + tiny
-            return Complex((a.re * b.re + a.im * b.im) / d,
-                           (a.im * b.re - a.re * b.im) / d)
-
-        rshape = [1] * V.re.ndim
-        rshape[-2] = -1
-        Sfs_j = jnp.asarray(Sfs_np).reshape(rshape)
-        w1 = Sfs_j - fs_f * cdiv(Vg1, V).im / (2 * np.pi)
-        trel = cdiv(Vt, V).re
-        N2 = Vd2 * V - Vg1 * Vg1
-        D2 = Vtd * V - Vt * Vg1
-        q = cdiv(N2, D2).im
-        w2 = jnp.abs(w1 + (fs_f / (2 * np.pi)) * q * trel)
-        w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
-        w2 = jnp.where(V.abs2() > jnp.asarray(gamma, dtype) ** 2, w2,
-                       jnp.inf)
+        V, w2 = _fsst2_rows(xh, Hre, Him, n_rows, Np2, N, fs_f, Sfs_np,
+                            gamma, dtype, tiny)
         if not fused_tx:
             return None, V, w2
         Sx_s = _apply_squeezing(V, squeezing)
@@ -438,15 +461,7 @@ def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
                bool(flipud), sq_str)
     plan = _SSQ_STFT2_PLANS.get(plankey)
     if plan is None:
-        g, dg = get_window(window, win_len, n_fft_, derivative=True,
-                           dtype=dtype_)
-        g, dg = np.asarray(g), np.asarray(dg)
-        _, d2g = get_window(dg, n_fft_, n_fft_, derivative=True,
-                            dtype=dtype_)
-        d2g = np.asarray(d2g)
-        nc = (np.arange(n_fft_) - n_fft_ // 2).astype(np.float64)
-        bank = np.stack([g, dg, nc * g, nc * dg, d2g]).astype(np.float64)
-        bank_key = _bank_key(bank)
+        bank_key = _bank_key(_fsst2_bank(window, win_len, n_fft_, dtype_))
 
         n_rows = n_fft_ // 2 + 1
         Sfs = np.linspace(0, .5 * fs_, n_rows, dtype=dtype_)

@@ -44,8 +44,9 @@ from .models.ssqueezing import _compute_associated_frequencies
 from .parallel.time_sharded import _next_fft_len, _reflect
 
 __all__ = ['StreamingSSQCWT', 'StreamingCWT', 'StreamingSSQSTFT',
-           'StreamingSTFT', 'stream_ssq_cwt', 'stream_cwt',
-           'stream_ssq_stft', 'stream_stft']
+           'StreamingSSQSTFT2', 'StreamingSTFT', 'stream_ssq_cwt',
+           'stream_cwt', 'stream_ssq_stft', 'stream_ssq_stft2',
+           'stream_stft']
 
 
 class _StreamingBase:
@@ -502,6 +503,63 @@ class StreamingSSQSTFT(_StreamingBase):
             else self.ssq_freqs.copy()
 
 
+class StreamingSSQSTFT2(StreamingSSQSTFT):
+    """Online SECOND-ORDER synchrosqueezed STFT (FSST2) — exact, like
+    the first-order streaming STFT: all five analysis windows (g, g',
+    t g, t g', g'') share the same finite `n_fft` support, so the chunk
+    window `history + chunk + lookahead` pins every emitted column to
+    the offline `ssq_stft2` geometry. The per-chunk body is the offline
+    fused bank pipeline (one forward FFT, (5*n_rows, Np2) bank multiply,
+    batched IFFT, chirp-rate regression, reassignment) on the fixed
+    window — one compiled program, carry state device-resident."""
+
+    def _build(self):
+        from .ops.fft import fft
+        from .ops.stft_conv import (_device_filterbank_multi, _bank_key,
+                                    _next_fft_len as _nfl)
+        from .models.ssq_stft import _fsst2_rows
+        from .models.ssq_cwt import _apply_squeezing
+        from .models.stft import _WINDOW_CACHE
+        from .models.windows import get_window as _gw
+        c, h, l = self.chunk, self.history, self.lookahead
+        n_fft, dtype, fs_ = self.n_fft, self.dtype, self.fs
+        params, gamma, flipud = self.params, self.gamma, self.flipud
+        natural, const = self._natural, self.const
+        squeezing = self.squeezing
+        padlength = h + c + l                 # == c + n_fft - 1
+        Np2 = _nfl(padlength)
+        win, dwin = _WINDOW_CACHE[self.win_key]
+        _, d2g = _gw(dwin, n_fft, n_fft, derivative=True, dtype=dtype)
+        ncen = (np.arange(n_fft) - n_fft // 2).astype(np.float64)
+        bank = np.stack([win, dwin, ncen * win, ncen * dwin,
+                         np.asarray(d2g)]).astype(np.float64)
+        tables = _device_filterbank_multi(_bank_key(bank), n_fft, Np2,
+                                          self.modulated, dtype)
+        self.uses_bins_pipeline = False
+        n_rows = n_fft // 2 + 1
+        tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
+        Sfs_np = np.asarray(self.Sfs, dtype)
+
+        def body(hist, pend, chunk, Hre, Him):
+            w = jnp.concatenate([hist, pend, chunk], axis=-1)
+            new_hist = w[..., c:c + h]
+            new_pend = w[..., h + c:]
+            # `w` IS the padded signal (padlength samples; fft zero-pads
+            # to Np2 exactly as the offline plan's padsignal + fft)
+            xh = fft(Complex(w, jnp.zeros_like(w)), n=Np2,
+                     imag_zero=True)
+            xh = Complex(xh.re[:, None], xh.im[:, None])
+            V, w2 = _fsst2_rows(xh, Hre, Him, n_rows, Np2, c, fs_,
+                                Sfs_np, gamma, dtype, tiny)
+            Sx_s = _apply_squeezing(V, squeezing)
+            Tx = indexed_sum_onfly(Sx_s, w2, None, const, logscale=False,
+                                   flipud=flipud, params=params,
+                                   natural_bins=natural)
+            return Tx.re, Tx.im, V.re, V.im, new_hist, new_pend
+
+        return jax.jit(body), tables
+
+
 class StreamingSTFT(StreamingSSQSTFT):
     """Online STFT (no reassignment): `process` returns Sx columns."""
 
@@ -578,6 +636,15 @@ def stream_ssq_stft(x, chunk, window=None, n_fft=None, fs=1., **kw):
     Returns (Tx, Sx, ssq_freqs, Sfs)."""
     x = np.asarray(x)
     plan = StreamingSSQSTFT(chunk, window, n_fft, fs=fs, **kw)
+    Tx, Sx = _drive(plan, x, chunk)
+    return Tx, Sx, plan.ssq_freqs_out, plan.Sfs
+
+
+def stream_ssq_stft2(x, chunk, window=None, n_fft=None, fs=1., **kw):
+    """Offline convenience: streaming SECOND-ORDER ssq_stft (FSST2) over
+    a full signal. Returns (Tx, Sx, ssq_freqs, Sfs)."""
+    x = np.asarray(x)
+    plan = StreamingSSQSTFT2(chunk, window, n_fft, fs=fs, **kw)
     Tx, Sx = _drive(plan, x, chunk)
     return Tx, Sx, plan.ssq_freqs_out, plan.Sfs
 

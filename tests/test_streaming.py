@@ -284,3 +284,27 @@ def test_stream_stft_variants(kw):
     Sx_o = stq.stft(x, **kw).to_numpy()
     rel = np.abs(Sx_s - Sx_o).max() / np.abs(Sx_o).max()
     assert rel < 1e-5, (kw, rel)
+
+
+def test_stream_ssq_stft2_matches_offline():
+    """Streaming FSST2 is exact: all five analysis windows share the
+    same n_fft support, so emitted columns equal offline `ssq_stft2` up
+    to FFT rounding (same criterion as the first-order streaming STFT).
+    """
+    N, chunk, n_fft = 4096, 1024, 256
+    x = _chirp(N)
+    Tx, Sx, fr, Sfs = stq.stream_ssq_stft2(x, chunk, n_fft=n_fft)
+    Tx, Sx = Tx.to_numpy(), Sx.to_numpy()
+    assert Tx.shape[-1] == Sx.shape[-1] == N
+
+    Tx_o, Sx_o, *_ = stq.ssq_stft2(x, n_fft=n_fft, astensor=False)
+    rel = np.abs(Sx - Sx_o).max() / np.abs(Sx_o).max()
+    assert rel < 1e-5, rel
+    # column sums (the inversion integrals) — immune to the +-1-bin
+    # flips different FFT lengths' rounding induces on boundary cells
+    # (the same criterion as the first-order streaming test above)
+    cm = np.abs(Tx.sum(-2) - Tx_o.sum(-2)).max() / np.abs(Tx_o).max()
+    assert cm < 1e-4, cm
+
+    xr = np.asarray(stq.issq_stft(Tx, n_fft=n_fft))
+    assert stq.toolkit.mad_rms(x, xr) < 0.05
