@@ -166,3 +166,15 @@ def test_wsst2_sharded_equals_single():
     assert np.abs(Tx_s.to_numpy() - Tx_1).max() < 6e-3
     assert np.abs(Tx_s.to_numpy().sum(-2) - Tx_1.sum(-2)).max() < 1e-5
     assert np.allclose(plan.ssq_freqs_out, sf_1)
+
+
+def test_wsst2_scale_and_freq_grids():
+    """Linear scales (per-row const array) and mixed log-scales /
+    linear-ssq_freqs plans both run and stay finite."""
+    N = 2048
+    x = _chirp(N, 0.05, 0.1 / N, np.float32)
+    Tx, *_ = stq.ssq_cwt2(x, scales='linear', astensor=False)
+    assert np.isfinite(np.abs(Tx)).all()
+    Tx, *_ = stq.ssq_cwt2(x, scales='log', ssq_freqs='linear',
+                          astensor=False)
+    assert np.isfinite(np.abs(Tx)).all()
