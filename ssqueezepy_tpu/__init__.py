@@ -83,10 +83,10 @@ from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
                               adm_ssq, adm_cwt, infer_scaletype,
                               logscale_transition_idx)
 
-from .streaming import (StreamingSSQCWT, StreamingCWT, StreamingSSQSTFT,
-                        StreamingSSQSTFT2, StreamingSTFT, stream_ssq_cwt,
-                        stream_cwt, stream_ssq_stft, stream_ssq_stft2,
-                        stream_stft)
+from .streaming import (StreamingSSQCWT, StreamingSSQCWT2, StreamingCWT,
+                        StreamingSSQSTFT, StreamingSSQSTFT2,
+                        StreamingSTFT, stream_ssq_cwt, stream_cwt,
+                        stream_ssq_stft, stream_ssq_stft2, stream_stft)
 from .streaming_multirate import StreamingMultirateSSQCWT
 
 from . import configs

@@ -86,6 +86,63 @@ def _supports_order2(wavelet, dtype):
     return True, None
 
 
+def _wsst2_rows(xh, scales_j, fns, n_up, n1, N_out, dt, gamma, dtype,
+                tiny):
+    """Traceable WSST2 core: half-grid signal spectrum + scale block ->
+    (W, w2). Synthesizes the five-kernel filterbank in-graph (psih and
+    its grad-derived t/t^2 spectral factors), runs ONE batched IFFT over
+    the 5*na rows (out_range = the unpadded emit region), and solves the
+    per-cell complex-chirp regression. Shared by the offline fused jit,
+    the scale-sharded per-shard body, and the streaming body. `xh` must
+    carry a broadcast row axis (..., 1, half); `w2` is physical Hz,
+    inf-marked where gamma-gated."""
+    fn, g1, g2 = fns
+    half = n_up // 2 + 1
+    nyq = half - 1
+    xi = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))[:half]
+    w_grid = scales_j * xi                              # (na, half)
+    psih, dpsih, d2psih = fn(w_grid, xp=jnp), g1(w_grid), g2(w_grid)
+    if n_up % 2 == 0:
+        # analytic Nyquist-bin halving, applied to the WHOLE kernel
+        # family (they are t-weightings of one h) — mirrors cwt_core
+        psih = psih.at[..., nyq].divide(2)
+        dpsih = dpsih.at[..., nyq].divide(2)
+        d2psih = d2psih.at[..., nyq].divide(2)
+    tb = scales_j * dpsih                               # a psih'(a xi)
+    t2b = (scales_j * scales_j) * d2psih                # a^2 psih''
+    # five banks as spectral factors of one synthesized filterbank:
+    #   W: psih     A: (i xi) psih     B: i a psih'
+    #   Bd: (i xi)(i a psih') = -xi a psih'    C: -a^2 psih''
+    b_re = jnp.concatenate([psih * xh.re, -xi * (psih * xh.im),
+                            -(tb * xh.im), -xi * (tb * xh.re),
+                            -(t2b * xh.re)], axis=-2)
+    b_im = jnp.concatenate([psih * xh.im, xi * (psih * xh.re),
+                            tb * xh.re, -xi * (tb * xh.im),
+                            -(t2b * xh.im)], axis=-2)
+    rowsout = ifft(Complex(b_re, b_im), axis=-1, n=n_up,
+                   out_range=(n1, n1 + N_out), nonzero_prefix=half)
+    na = psih.shape[-2]
+
+    def part(i):
+        sl = slice(i * na, (i + 1) * na)
+        return Complex(rowsout.re[..., sl, :], rowsout.im[..., sl, :])
+
+    W, A, B, Bd, C = (part(i) for i in range(5))
+
+    def cdiv(a, b):
+        d = b.abs2() + tiny
+        return Complex((a.re * b.re + a.im * b.im) / d,
+                       (a.im * b.re - a.re * b.im) / d)
+
+    p2 = cdiv(Bd * W - A * B, B * B - C * W)
+    p1 = cdiv(A + p2 * B, W)
+    w2 = jnp.abs(p1.im) / (2 * np.pi * dt)              # physical Hz
+    w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
+    w2 = jnp.where(W.abs2() > jnp.asarray(gamma, dtype) ** 2, w2,
+                   jnp.inf)
+    return W, w2
+
+
 @functools.lru_cache(maxsize=16)
 def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
                   squeezing, param_items, gamma, natural_key, wavelet_ref,
@@ -102,7 +159,6 @@ def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
     logscale = params['mode'] != 'lin'
     fn, g1, g2 = _wavelet_grad_fns(wavelet)
     tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
-    nyq = half - 1
 
     def run(xj, scales_j, dt, const):
         xj = xj.astype(dtype)
@@ -112,58 +168,8 @@ def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
                  out_range=(0, half), imag_zero=True)
         if is_2d:
             xh = Complex(xh.re[:, None], xh.im[:, None])
-
-        xi = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))[:half]
-        w_grid = scales_j * xi                          # (na, half)
-        psih = fn(w_grid, xp=jnp)
-        dpsih = g1(w_grid)
-        d2psih = g2(w_grid)
-        if n_up % 2 == 0:
-            # analytic Nyquist-bin halving, applied to the WHOLE kernel
-            # family (they are t-weightings of one h) — mirrors cwt_core
-            psih = psih.at[..., nyq].divide(2)
-            dpsih = dpsih.at[..., nyq].divide(2)
-            d2psih = d2psih.at[..., nyq].divide(2)
-
-        sc = scales_j                                    # (na, 1)
-        tb = sc * dpsih                                  # a psih'(a xi)
-        t2b = (sc * sc) * d2psih                         # a^2 psih''(a xi)
-        # five banks as spectral factors of one synthesized filterbank:
-        #   W: psih       A: (i xi) psih      B: i a psih'
-        #   Bd: (i xi)(i a psih') = -xi a psih'   C: -a^2 psih''
-        b_re = jnp.concatenate([psih * xh.re,            # W
-                                -xi * (psih * xh.im),    # A
-                                -(tb * xh.im),           # B
-                                -xi * (tb * xh.re),      # Bd
-                                -(t2b * xh.re)], axis=-2)
-        b_im = jnp.concatenate([psih * xh.im,
-                                xi * (psih * xh.re),
-                                tb * xh.re,
-                                -xi * (tb * xh.im),
-                                -(t2b * xh.im)], axis=-2)
-        rowsout = ifft(Complex(b_re, b_im), axis=-1, n=n_up,
-                       out_range=(n1, n1 + N), nonzero_prefix=half)
-
-        na = psih.shape[-2]
-
-        def part(i):
-            sl = slice(i * na, (i + 1) * na)
-            return Complex(rowsout.re[..., sl, :],
-                           rowsout.im[..., sl, :])
-
-        W, A, B, Bd, C = (part(i) for i in range(5))
-
-        def cdiv(a, b):
-            d = b.abs2() + tiny
-            return Complex((a.re * b.re + a.im * b.im) / d,
-                           (a.im * b.re - a.re * b.im) / d)
-
-        p2 = cdiv(Bd * W - A * B, B * B - C * W)
-        p1 = cdiv(A + p2 * B, W)
-        w2 = jnp.abs(p1.im) / (2 * np.pi * dt)           # physical Hz
-        w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
-        w2 = jnp.where(W.abs2() > jnp.asarray(gamma, dtype) ** 2, w2,
-                       jnp.inf)
+        W, w2 = _wsst2_rows(xh, scales_j, (fn, g1, g2), n_up, n1, N,
+                            dt, gamma, dtype, tiny)
         if not fused_tx:
             return None, W, w2
         Wx_s = _apply_squeezing(W, squeezing)

@@ -21,16 +21,17 @@ from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ..ops.complexlib import Complex
-from ..ops.fft import fft, ifft
+from ..ops.fft import fft
 from ..ops.pad import padsignal, pad_params
 from ..ops.ssq_kernels import (ssq_bin_params, compute_bins,
                                _dispatch_scatter)
 from ..utils.common import EPS32, EPS64
 from ..utils.cwt_utils import process_scales
-from ..models.wavelets import Wavelet, _xifn
+from ..models.wavelets import Wavelet
 from ..models.cwt import _process_gmw_wavelet
 from ..models.ssqueezing import _compute_associated_frequencies
-from ..models.ssq_cwt2 import _wavelet_grad_fns, _supports_order2
+from ..models.ssq_cwt2 import (_wavelet_grad_fns, _supports_order2,
+                               _wsst2_rows)
 from .mesh import make_mesh
 from .sharded import _pad_scales
 
@@ -107,51 +108,14 @@ class ShardedSSQCWT2:
         nb_local = (np.arange(na_local) if flipud
                     else np.arange(na_local - 1, -1, -1)).astype(np.int32)
         mesh_platform = self.mesh.devices.flat[0].platform
-        nyq = half - 1
 
         def per_shard(xp_pad, scales_blk, const_blk):
             # xp_pad: (B_local, n_up); scales_blk: (na_local, 1)
             xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)),
                      axis=-1, out_range=(0, half), imag_zero=True)
             xh = Complex(xh.re[:, None], xh.im[:, None])
-            xi = jnp.asarray(_xifn(1., n_up, np.dtype(dtype)))[:half]
-            w_grid = scales_blk * xi
-            psih, dpsih, d2psih = fn(w_grid, xp=jnp), g1(w_grid), \
-                g2(w_grid)
-            if n_up % 2 == 0:
-                psih = psih.at[..., nyq].divide(2)
-                dpsih = dpsih.at[..., nyq].divide(2)
-                d2psih = d2psih.at[..., nyq].divide(2)
-            tb = scales_blk * dpsih
-            t2b = (scales_blk * scales_blk) * d2psih
-            b_re = jnp.concatenate([psih * xh.re, -xi * (psih * xh.im),
-                                    -(tb * xh.im), -xi * (tb * xh.re),
-                                    -(t2b * xh.re)], axis=-2)
-            b_im = jnp.concatenate([psih * xh.im, xi * (psih * xh.re),
-                                    tb * xh.re, -xi * (tb * xh.im),
-                                    -(t2b * xh.im)], axis=-2)
-            rowsout = ifft(Complex(b_re, b_im), axis=-1, n=n_up,
-                           out_range=(n1, n1 + N), nonzero_prefix=half)
-
-            def part(i):
-                sl = slice(i * na_local, (i + 1) * na_local)
-                return Complex(rowsout.re[..., sl, :],
-                               rowsout.im[..., sl, :])
-
-            W, A, B, Bd, C = (part(i) for i in range(5))
-
-            def cdiv(a, b):
-                d = b.abs2() + tiny
-                return Complex((a.re * b.re + a.im * b.im) / d,
-                               (a.im * b.re - a.re * b.im) / d)
-
-            p2 = cdiv(Bd * W - A * B, B * B - C * W)
-            p1 = cdiv(A + p2 * B, W)
-            w2 = jnp.abs(p1.im) / (2 * np.pi * dt)
-            w2 = jnp.where(jnp.isfinite(w2), w2, jnp.inf)
-            w2 = jnp.where(W.abs2() > jnp.asarray(gamma, dtype) ** 2,
-                           w2, jnp.inf)
-
+            W, w2 = _wsst2_rows(xh, scales_blk, (fn, g1, g2), n_up, n1,
+                                N, dt, gamma, dtype, tiny)
             k, kvalid = compute_bins(w2, params, flipud)
             c = const_blk.reshape(1, -1, 1)
             vre, vim = W.re * c, W.im * c

@@ -43,10 +43,10 @@ from .models.cwt import cwt_core, _process_gmw_wavelet, _is_analytic
 from .models.ssqueezing import _compute_associated_frequencies
 from .parallel.time_sharded import _next_fft_len, _reflect
 
-__all__ = ['StreamingSSQCWT', 'StreamingCWT', 'StreamingSSQSTFT',
-           'StreamingSSQSTFT2', 'StreamingSTFT', 'stream_ssq_cwt',
-           'stream_cwt', 'stream_ssq_stft', 'stream_ssq_stft2',
-           'stream_stft']
+__all__ = ['StreamingSSQCWT', 'StreamingSSQCWT2', 'StreamingCWT',
+           'StreamingSSQSTFT', 'StreamingSSQSTFT2', 'StreamingSTFT',
+           'stream_ssq_cwt', 'stream_cwt', 'stream_ssq_stft',
+           'stream_ssq_stft2', 'stream_stft']
 
 
 class _StreamingBase:
@@ -219,6 +219,7 @@ class StreamingSSQCWT(_StreamingBase):
                 force_int=False)) / s_ref
         except Exception:
             sigma1 = 3.5
+        self.halo_mult = float(halo_mult)
         self.support_np = halo_mult * sigma1 * scales_np.squeeze()
         ctx = max(64, min(int(np.ceil(self.support_np.max())),
                           4 * self.chunk))
@@ -351,6 +352,68 @@ class StreamingSSQCWT(_StreamingBase):
     @property
     def ssq_freqs_out(self):
         return self.ssq_freqs[::-1].copy()
+
+
+class StreamingSSQCWT2(StreamingSSQCWT):
+    """Online SECOND-ORDER synchrosqueezed CWT (WSST2) — the streaming
+    CWT's overlap-save machinery with the five-kernel chirp-regression
+    body (models/ssq_cwt2._wsst2_rows). Same latency/reliability
+    contract as first order, with `support_np` widened by
+    ``(halo_mult + 2) / halo_mult``: the t/t²-weighted kernels carry
+    their mass ~1–2 σ_t further out than ψ itself."""
+
+    def __init__(self, *args, **kw):
+        kw.pop('ssq', None)
+        kw.pop('deriv_lowprec', None)
+        super().__init__(*args, ssq=True, **kw)
+        from .models.ssq_cwt2 import _supports_order2
+        ok, why = _supports_order2(self.wavelet, self.dtype)
+        if not ok:
+            raise NotImplementedError("StreamingSSQCWT2 %s" % why)
+        self.support_np = (self.support_np
+                           * (self.halo_mult + 2.) / self.halo_mult)
+
+    def _build(self):
+        from .ops.fft import fft as _fft
+        from .models.ssq_cwt2 import _wavelet_grad_fns, _wsst2_rows
+        wavelet, dtype = self.wavelet, self.dtype
+        h, c = self.history, self.chunk
+        n_up, pad_extra = self.n_up, self.pad_extra
+        params, gamma, flipud = self.params, self.gamma, self.flipud
+        nbins, dt = self.nbins, self.dt
+        platform = jax.devices()[0].platform
+        na = len(self.scales_np)
+        nb_hint = np.clip(np.arange(na) if flipud
+                          else np.arange(na - 1, -1, -1),
+                          0, nbins - 1).astype(np.int32)
+        fns = _wavelet_grad_fns(wavelet)
+        tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
+        half = n_up // 2 + 1
+        self.uses_bins_pipeline = False
+
+        def body(hist, pend, chunk, scales_j, const_j):
+            w = jnp.concatenate([hist, pend, chunk], axis=-1)
+            new_hist = w[..., c:c + h]
+            new_pend = w[..., h + c:]
+            xe = w
+            if pad_extra:
+                xe = jnp.concatenate(
+                    [xe, _reflect(xe, pad_extra, False)], axis=-1)
+            xh = _fft(Complex(xe, jnp.zeros_like(xe)), axis=-1,
+                      out_range=(0, half), imag_zero=True)
+            xh = Complex(xh.re[:, None], xh.im[:, None])
+            W, w2 = _wsst2_rows(xh, scales_j, fns, n_up, h, c, dt,
+                                gamma, dtype, tiny)
+            k, kvalid = compute_bins(w2, params, flipud)
+            cst = const_j.reshape(1, -1, 1)
+            Tx = jax.vmap(
+                lambda a, b, kk, vv: _dispatch_scatter(
+                    a, b, kk, vv, nbins, nb_hint,
+                    platform=platform))(W.re * cst, W.im * cst, k,
+                                        kvalid)
+            return Tx.re, Tx.im, W.re, W.im, new_hist, new_pend
+
+        return jax.jit(body)
 
 
 class StreamingCWT(StreamingSSQCWT):

@@ -308,3 +308,41 @@ def test_stream_ssq_stft2_matches_offline():
 
     xr = np.asarray(stq.issq_stft(Tx, n_fft=n_fft))
     assert stq.toolkit.mad_rms(x, xr) < 0.05
+
+
+def test_stream_ssq_cwt2_matches_offline():
+    """Streaming WSST2: Wx matches offline on reliable rows; column
+    sums (inversion integrals) match offline `ssq_cwt2` away from the
+    global edges; round trip reconstructs."""
+    from ssqueezepy_tpu.streaming import StreamingSSQCWT2
+    N, chunk, ctx = 4096, 1024, 2048
+    x = _chirp(N)
+    plan = StreamingSSQCWT2(chunk, ('gmw', {'dtype': 'float32'}),
+                            scales=_scales(), nv=None, N=N,
+                            history=ctx, lookahead=ctx)
+    Tx, Wx = _drive(plan, x, chunk)
+    Tx, Wx = Tx.to_numpy(), Wx.to_numpy()
+    assert Tx.shape[-1] == N
+
+    Tx_ref, Wx_ref, *_ = stq.ssq_cwt2(
+        x, ('gmw', {'dtype': 'float32'}), scales=_scales(), nv=None,
+        astensor=False)
+    mag = np.abs(Wx_ref).max()
+    sup = np.ceil(plan.support_np).astype(int)
+    checked = 0
+    for i in range(len(sup)):
+        m = min(sup[i], ctx)
+        if N - 2 * m < 64:
+            continue
+        rel = np.abs(Wx[i, m:N - m] - Wx_ref[i, m:N - m]).max() / mag
+        assert rel < 5e-3, (i, rel)
+        checked += 1
+    assert checked > 64
+
+    m = 1792
+    cs = np.abs(Tx.real.sum(-2)[m:-m] - Tx_ref.real.sum(-2)[m:-m]).max()
+    assert cs / np.abs(Tx_ref).max() < 0.05, cs
+
+    xrec = stq.issq_cwt(Tx)
+    err = stq.toolkit.mad_rms(x, xrec)
+    assert err < 0.1, err
