@@ -52,6 +52,11 @@ class Config:
     # placement tolerance. Set False to force full-precision bins even
     # when dWx is not returned.
     ssq_lowprec_deriv: bool = True
+    # tier-1 sweep strategy in the shift-scatter kernels: 'group'
+    # (per-32-row groups with dynamic per-group q ranges) or 'static'
+    # (full-plane rolls over a trace-time q window — zero dynamic
+    # control flow; candidate redesign, scripts/tpu_scatter_ablate.py)
+    scatter_mode: str = 'group'
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -74,6 +79,9 @@ def _from_env(cfg):
     lp = os.environ.get('SSQTPU_LOWPREC_DERIV')
     if lp is not None and lp != '':
         cfg.ssq_lowprec_deriv = lp not in ('0', 'false', 'False')
+    sm = os.environ.get('SSQTPU_SCATTER_MODE')
+    if sm:
+        cfg.scatter_mode = sm
     return cfg
 
 

@@ -60,8 +60,23 @@ _BAND = 24   # tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the
              # extracted per column and placed by dense one-row sweeps
 
 
+def _static_plan(offs_np, na_pad, nbins_pad, mode):
+    """Trace-time plan for the 'static' tier-1 sweep (no dynamic control
+    flow): in-band displacements lie in [offs.min()-_BAND,
+    offs.max()+_BAND], so a fixed q window (d = 8q + r) covers every
+    cell. Returns (qlo, qhi, base, acc_rows) or None ('group' mode)."""
+    if mode != 'static':
+        return None
+    off = np.asarray(offs_np).reshape(-1)
+    qlo = int(np.floor((off.min() - _BAND) / 8))
+    qhi = int(np.floor((off.max() + _BAND) / 8))
+    base = _round_up(max(_GROUP + 24, -8 * qlo), 8)
+    acc_rows = max(base + 8 * qhi + na_pad + 8, base + nbins_pad)
+    return (qlo, qhi, base, int(acc_rows))
+
+
 def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
-                        oaccr, oacci, outr, outi):
+                        oaccr, oacci, outr, outi, static_plan=None):
     """Shared two-tier scatter core: out[row + d] += v with d = dm (the
     caller masks invalid cells to _BIG and guarantees row + d in
     [0, nbins) for the rest).
@@ -97,7 +112,7 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     G = _GROUP
     ngroups = na_pad // G
     acc[:] = jnp.zeros(acc.shape, dt)
-    base_off = G + 24
+    base_off = G + 24 if static_plan is None else static_plan[2]
 
     act = dm != _BIG
     dev = dm - offs
@@ -111,6 +126,24 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
 
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
+
+    if static_plan is not None:
+        # STATIC tier 1: full-plane rolls x a trace-time q window — the
+        # whole sweep is straight-line vector code (no per-group min/max
+        # reductions, no fori launches; Mosaic pipelines it freely).
+        # Every slice offset is a static multiple of 8.
+        qlo_s, qhi_s = static_plan[0], static_plan[1]
+        vg = jnp.concatenate([v2, zeros8], axis=0)
+        dmg = jnp.concatenate([dm2, big8], axis=0)
+        for r in range(8):
+            vr = vg if r == 0 else pltpu.roll(vg, r, 0)
+            dmr = dmg if r == 0 else pltpu.roll(dmg, r, 0)
+            for q in range(qlo_s, qhi_s + 1):
+                off = base_off + 8 * q
+                m = (dmr == 8 * q + r).astype(dt)
+                acc[pl.ds(off, na_pad + 8)] = \
+                    acc[pl.ds(off, na_pad + 8)] + vr * m
+        ngroups = 0                        # skip the group loop below
 
     for g in range(ngroups):
         vg = jnp.concatenate([v2[g * G:(g + 1) * G], zeros8], axis=0)
@@ -183,12 +216,16 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
 
 
-def _acc_shape(na_pad, nbins_pad, T):
+def _acc_shape(na_pad, nbins_pad, T, static_plan=None):
     # Valid targets satisfy k = row + d in [0, nbins), so a group's
     # q-loop slices stay within [base_off - G - 23,
     # base_off + nbins_pad + G + 16) with base_off = G + 24; the tight
     # accumulator keeps the per-tile zeroing cost down. (na_pad only
-    # bounds which groups exist, not the slice range.)
+    # bounds which groups exist, not the slice range.) The static sweep
+    # writes full-plane slices over its whole q window, so its
+    # accumulator is sized by the plan.
+    if static_plan is not None:
+        return (static_plan[3], 2 * T)
     return (nbins_pad + 2 * _GROUP + 48, 2 * T)
 
 
@@ -327,7 +364,7 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
 
 
 def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
-                       has_sfs):
+                       has_sfs, static_plan=None):
     omax = params['omax']
 
     def kernel(*refs):
@@ -367,7 +404,8 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
         dm = jnp.where(valid & ~edge, d, _BIG)
 
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi)
+                            acc, oaccr, oacci, outr, outi,
+                            static_plan=static_plan)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -388,10 +426,10 @@ def _offs_column(nat_key, perm, na, na_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     'param_items', 'gamma', 'flipud', 'perm', 'nat_key', 'has_sfs',
-    'interpret', 'T'))
+    'interpret', 'T', 'scatter_mode'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                     gamma, flipud, perm, nat_key, has_sfs, interpret,
-                    T=1024):
+                    T=1024, scatter_mode='group'):
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
@@ -437,8 +475,10 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
         args.append(prep_col(Sfs_col.astype(dt)))
         in_specs.append(col_spec)
 
+    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
     kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
-                                flipud, params['mode'], has_sfs)
+                                flipud, params['mode'], has_sfs,
+                                static_plan=splan)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
@@ -449,7 +489,8 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
+                                              splan), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -461,7 +502,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
 @functools.lru_cache(maxsize=64)
 def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
-                      interpret, T):
+                      interpret, T, scatter_mode='group'):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     formulation of the identical math (the gradient of the reassignment
     w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
@@ -483,7 +524,8 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
     def f(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
         return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
                                param_items, gamma, flipud, perm, nat_key,
-                               has_sfs, interpret, T=T)
+                               has_sfs, interpret, T=T,
+                               scatter_mode=scatter_mode)
 
     def f_fwd(*args):
         return f(*args), args
@@ -515,9 +557,11 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
     Sfs_col = (jnp.asarray(Sfs, dt) if Sfs is not None else
                jnp.zeros((na,), dt))
 
+    from ..configs import get_config
     call2d = _ssq_fused_vjp_fn(
         tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
-        nat_key, Sfs is not None, bool(interpret), int(T))
+        nat_key, Sfs is not None, bool(interpret), int(T),
+        str(get_config().scatter_mode))
 
     def call(wr, wi, dr, di):
         return call2d(wr, wi, dr, di, const_col, Sfs_col)
@@ -539,7 +583,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # HBM; this kernel multiplies Wx by the per-row squeeze constant,
 # extracts edge-clamped bins via static reductions, and shift-scatters
 # --------------------------------------------------------------------------
-def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
+def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None):
     omax = nbins - 1
 
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
@@ -567,7 +611,8 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
         rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
         dm = jnp.where(valid & ~edge, k - rows, _BIG)
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi)
+                            acc, oaccr, oacci, outr, outi,
+                            static_plan=static_plan)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -576,9 +621,10 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T'))
+                                             'interpret', 'T',
+                                             'scatter_mode'))
 def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
-                     interpret, T=1024):
+                     interpret, T=1024, scatter_mode='group'):
     na, N = wxr.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -599,7 +645,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
         k_ = jnp.pad(_place_rows(k, inv, na, fill=-1), ((0, 0), (0, cp)),
                      constant_values=-1)
         const_ = _place_rows(const_col.reshape(-1, 1), inv, na)
-        offs = jnp.asarray(_placed_offs(nat_key, pos, plane))
+        offs_np = _placed_offs(nat_key, pos, plane)
     else:
         def prep(x):
             return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
@@ -609,9 +655,12 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
                      constant_values=-1)
         const_ = jnp.pad(_apply_perm(const_col, perm).reshape(-1, 1),
                          ((0, rp), (0, 0)))
-        offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
+        offs_np = _offs_column(nat_key, perm, na, na_pad)
 
-    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
+    offs = jnp.asarray(offs_np)
+    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins,
+                             static_plan=splan)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -625,7 +674,8 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
         out_specs=(os, os),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
+                                              splan), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -636,7 +686,8 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T):
+def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T,
+                       scatter_mode='group'):
     """custom_vjp: forward = k-consuming Pallas scatter; backward =
     adjoint gather via the XLA formulation (k is integer-valued and
     carries no tangent)."""
@@ -650,7 +701,8 @@ def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T):
     @jax.custom_vjp
     def f(wxr, wxi, k, const_col):
         return _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm,
-                                nat_key, interpret, T=T)
+                                nat_key, interpret, T=T,
+                                scatter_mode=scatter_mode)
 
     def f_fwd(*args):
         return f(*args), args
@@ -677,8 +729,9 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     dt = Wx.dtype
     c = jnp.asarray(const, dt).reshape(-1)
     const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
+    from ..configs import get_config
     f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
-                           int(T))
+                           int(T), str(get_config().scatter_mode))
     if Wx.re.ndim == 3:
         outr, outi = jax.vmap(
             lambda a, b, kk: f(a, b, kk, const_col))(Wx.re, Wx.im, k)
@@ -687,7 +740,7 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     return Complex(outr, outi)
 
 
-def _make_scatter_kernel(na_pad, nbins_pad, T):
+def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None):
     def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = vre_r.dtype
@@ -701,14 +754,16 @@ def _make_scatter_kernel(na_pad, nbins_pad, T):
         vre = vre_r[:] * validf
         vim = vim_r[:] * validf
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi)
+                            acc, oaccr, oacci, outr, outi,
+                            static_plan=static_plan)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T'))
+                                             'interpret', 'T',
+                                             'scatter_mode'))
 def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
-                  T=512):
+                  T=512, scatter_mode='group'):
     na, N = vre.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -725,12 +780,13 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
         def prep(x):
             return jnp.pad(_place_rows(x, inv, na), ((0, 0), (0, cp)))
 
-        offs = jnp.asarray(_placed_offs(nat_key, pos, plane))
+        offs_np = _placed_offs(nat_key, pos, plane)
     else:
         def prep(x):
             return jnp.pad(_apply_perm(x, perm), ((0, rp), (0, cp)))
 
-        offs = jnp.asarray(_offs_column(nat_key, perm, na, na_pad))
+        offs_np = _offs_column(nat_key, perm, na, na_pad)
+    offs = jnp.asarray(offs_np)
 
     vre_ = prep(vre)
     vim_ = prep(vim)
@@ -740,7 +796,8 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
     k_ = prep(k)
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
 
-    kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
+    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
+    kernel = _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=splan)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
@@ -754,7 +811,8 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
         out_specs=(os, os),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
+                                              splan), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -765,7 +823,8 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T):
+def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T,
+                    scatter_mode='group'):
     """custom_vjp: Pallas scatter forward; backward is the adjoint gather
     (via jax.vjp of the XLA scatter — bin indices are integer inputs and
     carry no tangent)."""
@@ -777,7 +836,7 @@ def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T):
     @jax.custom_vjp
     def f(vre, vim, k, valid):
         return _scatter_call(vre, vim, k, valid, nbins, perm, nat_key,
-                             interpret, T=T)
+                             interpret, T=T, scatter_mode=scatter_mode)
 
     def f_fwd(*args):
         return f(*args), args
@@ -801,6 +860,8 @@ def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
     nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
                if natural_bins is not None and len(natural_bins) == na
                else None)
-    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T))
+    from ..configs import get_config
+    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T),
+                        str(get_config().scatter_mode))
     outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)
