@@ -135,14 +135,17 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
         qlo_s, qhi_s = static_plan[0], static_plan[1]
         vg = jnp.concatenate([v2, zeros8], axis=0)
         dmg = jnp.concatenate([dm2, big8], axis=0)
-        for r in range(8):
-            vr = vg if r == 0 else pltpu.roll(vg, r, 0)
-            dmr = dmg if r == 0 else pltpu.roll(dmg, r, 0)
-            for q in range(qlo_s, qhi_s + 1):
-                off = base_off + 8 * q
-                m = (dmr == 8 * q + r).astype(dt)
-                acc[pl.ds(off, na_pad + 8)] = \
-                    acc[pl.ds(off, na_pad + 8)] + vr * m
+        vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
+        dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
+        # q outer / residues inner: ONE accumulator read-modify-write
+        # per q pass (8x less acc traffic than per-(r,q) writes)
+        for q in range(qlo_s, qhi_s + 1):
+            off = base_off + 8 * q
+            upd = acc[pl.ds(off, na_pad + 8)]
+            for r in range(8):
+                m = (dmrs[r] == 8 * q + r).astype(dt)
+                upd = upd + vrs[r] * m
+            acc[pl.ds(off, na_pad + 8)] = upd
         ngroups = 0                        # skip the group loop below
 
     for g in range(ngroups):
