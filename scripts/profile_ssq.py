@@ -236,6 +236,29 @@ def profile_ssq_stft(x):
     print('ssq_stft bins full   : %.4f s' % bench(jax.jit(f_sfull), xj,
                                                   *tables))
 
+    # ---- second-order family (no baseline; records the order-2 cost
+    # multiple over the first-order flagships) --------------------------
+    import ssqueezepy_tpu as stq
+    N2 = 160000
+    x2 = np.random.default_rng(0).standard_normal(N2).astype(np.float32)
+    x2j = jnp.asarray(x2)
+
+    def f_w2(xv):
+        Tx, _, _, _ = stq.ssq_cwt2(xv, ('gmw', {'dtype': 'float32'}))
+        return Tx.re.sum()
+    try:
+        print('ssq_cwt2 full        : %.4f s' % bench(f_w2, x2j))
+    except Exception as e:
+        print('ssq_cwt2 full        : FAILED (%s)' % e, flush=True)
+
+    def f_f2(xv):
+        Tx, _, _, _ = stq.ssq_stft2(xv, n_fft=598)
+        return Tx.re.sum()
+    try:
+        print('ssq_stft2 full       : %.4f s' % bench(f_f2, x2j))
+    except Exception as e:
+        print('ssq_stft2 full       : FAILED (%s)' % e, flush=True)
+
 
 if __name__ == '__main__':
     main()
