@@ -15,7 +15,8 @@ from .time_sharded import (TimeShardedSSQCWT, time_sharded_cwt,
 from .full_sharded import FullShardedSSQCWT, make_mesh3
 from .distributed import init_distributed, make_host_chip_mesh
 from .inverse import sharded_icwt, sharded_issq_cwt
-from .sharded_stft import ShardedSSQSTFT, sharded_ssq_stft
+from .sharded_stft import (ShardedSSQSTFT, ShardedSSQSTFT2,
+                           sharded_ssq_stft)
 from .sharded_order2 import ShardedSSQCWT2
 
 __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
@@ -23,4 +24,5 @@ __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
            'time_sharded_cwt', 'time_sharded_ssq_cwt', 'make_mesh_time',
            'init_distributed', 'make_host_chip_mesh', 'FullShardedSSQCWT',
            'make_mesh3', 'sharded_icwt', 'sharded_issq_cwt',
-           'ShardedSSQSTFT', 'sharded_ssq_stft', 'ShardedSSQCWT2']
+           'ShardedSSQSTFT', 'ShardedSSQSTFT2', 'sharded_ssq_stft',
+           'ShardedSSQCWT2']

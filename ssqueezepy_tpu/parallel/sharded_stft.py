@@ -36,7 +36,8 @@ from ..ops.ssq_kernels import (ssq_bin_params, compute_bins,
 from ..utils.common import EPS32, EPS64
 from .mesh import make_mesh
 
-__all__ = ['ShardedSSQSTFT', 'sharded_ssq_stft']
+__all__ = ['ShardedSSQSTFT', 'ShardedSSQSTFT2',
+           'sharded_ssq_stft']
 
 
 class ShardedSSQSTFT:
@@ -244,3 +245,93 @@ def sharded_ssq_stft(x, window=None, n_fft=None, fs=1., mesh=None, **kw):
                           **kw)
     Tx, Sx = plan(x)
     return Tx, Sx, plan.ssq_freqs_out, plan.Sfs
+
+
+class ShardedSSQSTFT2(ShardedSSQSTFT):
+    """Frequency-row-sharded SECOND-ORDER synchrosqueezed STFT (FSST2).
+
+    The chirp regression (models/ssq_stft._fsst2_rows) couples only the
+    five transforms of the SAME frequency row, so rows shard exactly as
+    first order: each chip holds its block of the FIVE-window filterbank
+    spectra (g, g', t g, t g', g''), runs one batched matmul IFFT over
+    its 5*rows_local block, solves the per-cell regression, and
+    reassigns into the full bin space; one `psum` over 'scale' completes
+    the squeeze. No reference analog."""
+
+    def _tables_np(self):
+        """(rows_pad, 5, Np2) re/im five-window bank spectra, row-major
+        so the row axis shards; per shard they transpose back to the
+        window-major layout `_fsst2_rows` expects."""
+        from ..ops.stft_conv import (_conv_filterbank_multi, _bank_key)
+        from ..models.ssq_stft import _fsst2_bank
+        bank = _fsst2_bank(self.window, len(self.window), self.n_fft,
+                           self.dtype)
+        Hre, Him = _conv_filterbank_multi(_bank_key(bank), self.n_fft,
+                                          self.Np2, True, self.dtype)
+        pad = self.rows_pad - self.n_rows
+
+        def prep(A):
+            A = np.asarray(A).reshape(5, self.n_rows, self.Np2)
+            A = np.pad(A, ((0, 0), (0, pad), (0, 0)))
+            return np.ascontiguousarray(A.transpose(1, 0, 2))
+        return (prep(Hre), prep(Him))
+
+    def _build(self):
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from ..models.ssq_stft import _fsst2_rows
+        from ..models.ssq_cwt import _apply_squeezing
+        mesh = self.mesh
+        dtype, gamma, flipud = self.dtype, self.gamma, self.flipud
+        params, nbins, const = self.params, self.nbins, self.const
+        Np2, N, padlength = self.Np2, self.N, self.padlength
+        squeezing, fs_ = self.squeezing, self.fs
+        rows_local = self.rows_pad // self.n_rows_shards
+        sfs_pad = np.pad(self.Sfs, (0, self.rows_pad - self.n_rows),
+                         mode='edge').astype(dtype)
+        nb_local = (np.arange(rows_local - 1, -1, -1) if flipud
+                    else np.arange(rows_local)).astype(np.int32)
+        mesh_platform = mesh.devices.flat[0].platform
+        tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
+        self.uses_bins_pipeline = False
+
+        def per_shard(xp, Hre_blk, Him_blk, sfs_blk):
+            # xp: (B_local, padlength); H*_blk: (rows_local, 5, Np2)
+            xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2,
+                     imag_zero=True)
+            xh = Complex(xh.re[:, None], xh.im[:, None])
+            Hre = Hre_blk.transpose(1, 0, 2).reshape(5 * rows_local, Np2)
+            Him = Him_blk.transpose(1, 0, 2).reshape(5 * rows_local, Np2)
+            V, w2 = _fsst2_rows(xh, Hre, Him, rows_local, Np2, N, fs_,
+                                sfs_blk, gamma, dtype, tiny)
+            k, kvalid = compute_bins(w2, params, flipud)
+            Sx_s = _apply_squeezing(V, squeezing)
+            Tx_part = jax.vmap(
+                lambda a, b, kk, vv: _dispatch_scatter(
+                    a, b, kk, vv, nbins, nb_local,
+                    platform=mesh_platform)
+            )(Sx_s.re * const, Sx_s.im * const, k, kvalid)
+            Tx_re = jax.lax.psum(Tx_part.re, 'scale')
+            Tx_im = jax.lax.psum(Tx_part.im, 'scale')
+            return Tx_re, Tx_im, V.re, V.im
+
+        fn = shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P('batch', None), P('scale', None, None),
+                      P('scale', None, None), P('scale')),
+            out_specs=(P('batch', None, None), P('batch', None, None),
+                       P('batch', 'scale', None),
+                       P('batch', 'scale', None)),
+            check_rep=False)
+
+        tables = tuple(jnp.asarray(t) for t in self._tables_np())
+        sfs_j = jnp.asarray(sfs_pad)
+        padtype = self.padtype
+
+        @jax.jit
+        def run(x):
+            x = x.astype(dtype)
+            x = jnp.where(jnp.isfinite(x), x, 0)
+            xp = padsignal(x, padtype, padlength=padlength)
+            return fn(xp, *tables, sfs_j)
+        return run

@@ -115,3 +115,28 @@ def test_sharded_stft_squeezing_modes():
     k_hat = int(np.argmax(mag[:, N // 4:3 * N // 4].sum(-1)))
     k_true = int(np.argmin(np.abs(np.asarray(ssq_freqs) - f0)))
     assert abs(k_hat - k_true) <= 1, (k_hat, k_true)
+
+
+def test_sharded_ssq_stft2_equals_single():
+    """Row-sharded FSST2 on the 8-device mesh equals offline ssq_stft2
+    (bin-flip-tolerant map, tight column sums)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ssqueezepy_tpu.parallel import make_mesh, ShardedSSQSTFT2
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((4, 1024)).astype(np.float32)
+    mesh = make_mesh(batch=2, scale=4)
+    plan = ShardedSSQSTFT2(1024, n_fft=128, mesh=mesh, dtype='float32')
+    Tx_s, Sx_s = plan(x)
+    Tx_1, Sx_1, fr_1, _ = stq.ssq_stft2(x, n_fft=128, astensor=False)
+    assert np.abs(Sx_s.to_numpy() - Sx_1).max() < 1e-4
+    # white noise + the order-2 chirp regression: w2 is a ratio of
+    # differences of products, so f32 reduction-order changes flip more
+    # boundary bins than first order — assert the flip-immune
+    # invariants (column sums = inversion integrals; total |Tx| mass)
+    Txs, Tx1 = Tx_s.to_numpy(), Tx_1
+    assert np.abs(Txs.sum(-2) - Tx1.sum(-2)).max() < 1e-4
+    e_s, e_1 = np.abs(Txs).sum(), np.abs(Tx1).sum()
+    assert abs(e_s - e_1) / e_1 < 5e-3
+    assert np.allclose(plan.ssq_freqs_out, fr_1)
