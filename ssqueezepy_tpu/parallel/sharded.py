@@ -384,12 +384,18 @@ def dryrun_multichip(n_devices):
     jax.block_until_ready(Ts.re)
     assert np.isfinite(np.asarray(Ts.re)).all()
 
-    # second-order (WSST2) under scale sharding: the five-kernel
-    # filterbank block + per-cell chirp regression per shard, one psum
+    # second-order (WSST2/FSST2) under sharding: the five-kernel
+    # filterbank blocks + per-cell chirp regression per shard, one psum
     from .sharded_order2 import ShardedSSQCWT2
     p2 = ShardedSSQCWT2(N, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
                         mesh=mesh)
     T2, W2 = p2(x)
     jax.block_until_ready(T2.re)
     assert np.isfinite(np.asarray(T2.re)).all()
+
+    from .sharded_stft import ShardedSSQSTFT2
+    s2 = ShardedSSQSTFT2(N, n_fft=64, mesh=hmesh, dtype='float32')
+    Ts2, Ss2 = s2(x)
+    jax.block_until_ready(Ts2.re)
+    assert np.isfinite(np.asarray(Ts2.re)).all()
     return True
