@@ -99,3 +99,10 @@ from . import parallel
 def wavs():
     """Names of supported wavelets (reference __init__.py:84)."""
     return Wavelet.SUPPORTED
+
+
+# reference-layout module aliases (reference __init__.py exposes its
+# submodules at the top level; migrating code does e.g.
+# `ssqueezepy.wavelets.Wavelet`, `ssqueezepy.ridge_extraction.extract_ridges`)
+from .models import wavelets, ssqueezing, ridge_extraction
+from .configs import IS_PARALLEL, USE_GPU

@@ -163,3 +163,21 @@ def gdefaults(section, **kw):
     for k, v in kw.items():
         out[k] = table.get(k) if v is None else v
     return out
+
+
+def IS_PARALLEL():
+    """Migration shim for the reference's `IS_PARALLEL`
+    (reference configs.py:127): kernel parallelism here is inherent to
+    XLA (fused programs; no numba thread pool to toggle). Honors
+    `SSQ_PARALLEL=0` for drop-in environment compatibility, purely as a
+    report — it does not serialize anything."""
+    return os.environ.get('SSQ_PARALLEL', '1') != '0'
+
+
+def USE_GPU():
+    """Migration shim for the reference's `USE_GPU`
+    (reference configs.py:142): True when the resolved execution backend
+    is the accelerator (TPU here — the CUDA/CuPy toggle's analog).
+    Accelerator selection is automatic; force with
+    `configure(backend='cpu'|'tpu')` or `SSQTPU_BACKEND`."""
+    return backend() == 'tpu'
