@@ -150,3 +150,37 @@ def test_static_fused_end_to_end():
                        atol=2e-5, rtol=2e-4)
     assert np.allclose(np.asarray(out.im), np.asarray(ref.im),
                        atol=2e-5, rtol=2e-4)
+
+
+def test_static_kv_grad():
+    """Gradient flows through the static-mode forward via the adjoint
+    gather (mode-independent custom VJP) — matches the XLA gradient."""
+    import jax
+    from ssqueezepy_tpu.ops.ssq_kernels import _scatter_xla
+    rng = np.random.default_rng(11)
+    na, N, nbins = 33, 96, 40
+    wr = rng.standard_normal((na, N)).astype(np.float32)
+    wi = rng.standard_normal((na, N)).astype(np.float32)
+    k = rng.integers(-1, nbins, (na, N)).astype(np.int32)
+    const = (rng.random(na) + 0.5).astype(np.float32)
+    nat = np.clip(np.arange(na), 0, nbins - 1).astype(np.int32)
+
+    def f_pallas(a, b):
+        out = scatter_kv_pallas(Complex(a, b), jnp.asarray(k),
+                                jnp.asarray(const), nbins,
+                                natural_bins=nat, interpret=True, T=96)
+        return (out.re ** 2).sum() + (out.im ** 2).sum()
+
+    def f_xla(a, b):
+        c = jnp.asarray(const).reshape(-1, 1)
+        valid = (jnp.asarray(k) >= 0) & (jnp.asarray(k) < nbins)
+        out = _scatter_xla(a * c, b * c, jnp.asarray(np.maximum(k, 0)),
+                           valid, nbins)
+        return (out.re ** 2).sum() + (out.im ** 2).sum()
+
+    ga, gb = jax.grad(f_pallas, argnums=(0, 1))(jnp.asarray(wr),
+                                                jnp.asarray(wi))
+    ra, rb = jax.grad(f_xla, argnums=(0, 1))(jnp.asarray(wr),
+                                             jnp.asarray(wi))
+    assert np.allclose(np.asarray(ga), np.asarray(ra), atol=1e-4)
+    assert np.allclose(np.asarray(gb), np.asarray(rb), atol=1e-4)
