@@ -11,8 +11,14 @@ import numpy as np
 logging.basicConfig(format='')
 _logger = logging.getLogger('ssqueezepy_tpu')
 
-WARN = lambda msg: _logger.warning("WARNING: %s" % msg)
-NOTE = lambda msg: _logger.warning("NOTE: %s" % msg)
+
+def WARN(msg):
+    _logger.warning("WARNING: %s" % msg)
+
+
+def NOTE(msg):
+    _logger.warning("NOTE: %s" % msg)
+
 
 pi = np.pi
 EPS32 = np.finfo(np.float32).eps
@@ -21,25 +27,25 @@ EPS64 = np.finfo(np.float64).eps
 
 def assert_is_one_of(x, name, supported, e=ValueError):
     if x not in supported:
-        raise e("`{}` must be one of: {} (got {})".format(
-            name, ', '.join(map(str, supported)), x))
+        opts = ', '.join(map(str, supported))
+        raise e(f"`{name}` must be one of: {opts} (got {x})")
 
 
 def mad(data, axis=None):
     """Mean absolute deviation."""
     data = np.asarray(data)
-    return np.mean(np.abs(data - np.mean(data, axis)), axis)
+    centered = data - data.mean(axis)
+    return np.abs(centered).mean(axis)
 
 
 def est_riskshrink_thresh(Wx, nv):
     """RiskShrink hard-threshold estimate (reference utils/common.py:248-276,
-    after Thakur et al.). `Wx` complex (na, n) or split-complex magnitude.
+    after Thakur et al.): noise sigma from the MAD of the `nv` finest
+    scale rows, scaled by the universal-threshold factor.
     """
-    Wx = np.asarray(Wx)
-    N = Wx.shape[-1]
-    Wx_fine = np.abs(Wx[:int(nv)])
-    gamma = 1.4826 * np.sqrt(2 * np.log(N)) * mad(Wx_fine)
-    return gamma
+    n = np.asarray(Wx).shape[-1]
+    finest = np.abs(np.asarray(Wx)[:int(nv)])
+    return 1.4826 * mad(finest) * np.sqrt(2 * np.log(n))
 
 
 def p2up(n):
@@ -49,7 +55,7 @@ def p2up(n):
     `2**(1 + round(log2(n)))`, i.e. can jump two octaves above for `n` just
     under a power of 2 — reproduced exactly for parity.
     """
-    up = int(2 ** (1 + np.round(np.log2(n))))
-    n2 = int((up - n) // 2)
-    n1 = int(up - n - n2)
-    return up, n1, n2
+    total = int(2 ** (1 + np.round(np.log2(n))))
+    right = (total - n) // 2
+    left = total - n - right
+    return total, int(left), int(right)

@@ -10,7 +10,9 @@ nv_from_scales :397, _process_fs_and_t :698).
 
 All of this is data-independent bookkeeping that runs once per transform
 *plan* on the host — it never traces into XLA, so the adaptive searches and
-integrals stay plain numpy.
+integrals stay plain numpy. The numeric cutoffs/ladders below are the
+reference's behavior contract and are kept verbatim; everything around
+them is this codebase's own structure.
 """
 import numpy as np
 from scipy import integrate
@@ -28,154 +30,172 @@ __all__ = [
 ]
 
 
-def _wavelet_fn_np(wavelet):
+def _freq_fn(wavelet):
+    """Numpy frequency-domain evaluator of a (possibly spec'd) wavelet."""
     from ..models.wavelets import Wavelet
-    wavelet = Wavelet._init_if_not_isinstance(wavelet)
-    return wavelet.evaluate_np
+    return Wavelet._init_if_not_isinstance(wavelet).evaluate_np
+
+
+def _real_if_close(z, tol=1e-15):
+    return z.real if abs(getattr(z, 'imag', 0)) < tol else z
 
 
 def adm_ssq(wavelet):
     """Synchrosqueezing admissibility constant
     ``integral(conj(psih(w)) / w, w=0..inf)`` (reference cwt_utils.py:28)."""
-    fn = _wavelet_fn_np(wavelet)
-    Css = integrate_analytic(lambda w: np.conj(fn(w)) / w)
-    return Css.real if abs(getattr(Css, 'imag', 0)) < 1e-15 else Css
+    psih = _freq_fn(wavelet)
+    return _real_if_close(integrate_analytic(lambda w: np.conj(psih(w)) / w))
 
 
 def adm_cwt(wavelet):
     """CWT admissibility constant ``integral(|psih(w)|^2 / w, w=0..inf)``
     (reference cwt_utils.py:50)."""
-    fn = _wavelet_fn_np(wavelet)
-    Cpsi = integrate_analytic(lambda w: np.conj(fn(w)) * fn(w) / w)
-    return Cpsi.real if abs(getattr(Cpsi, 'imag', 0)) < 1e-15 else Cpsi
+    psih = _freq_fn(wavelet)
+    return _real_if_close(
+        integrate_analytic(lambda w: np.conj(psih(w)) * psih(w) / w))
+
+
+# --------------------------------------------------------------------------
+# adaptive integration
+# --------------------------------------------------------------------------
+# Escalation ladder for the upper integration bound: (grid multiplier,
+# upper limit). These four rungs and the acceptance rule (>10% of samples
+# past the decay cutoff, non-negligible mass) are the reference's
+# convergence heuristic — behavior spec, not tunables.
+_INT_LADDER = ((1, 1), (1, 20), (4, 80), (8, 160))
 
 
 def integrate_analytic(int_fn, nowarn=False):
-    """Adaptive trapezoid integral 0..inf of an analytic-wavelet-derived
-    function (zero for negative inputs, decaying, unimodal), with separate
-    logspace integration near zero (reference cwt_utils.py:583-627)."""
-    def _est_arr(mxlim, N):
-        t = np.linspace(mxlim, .1, N, endpoint=False)[::-1].copy()
-        arr = int_fn(t)
-        max_idx = np.argmax(np.abs(arr))
-        cutoff = min_neglect_idx(np.abs(arr[max_idx:]), th=1e-15) + max_idx
-        return arr, t, cutoff
+    """Trapezoid integral over (0, inf) of an analytic-wavelet-derived
+    function (zero for w<0, unimodal, decaying). The [1e-15, 0.1) head is
+    integrated on a log grid; the tail on successively longer/denser
+    linear grids until the sampled mass demonstrably decays
+    (reference cwt_utils.py:583-627).
+    """
+    head_w = np.logspace(-15, -1, 1000)
+    head = integrate.trapezoid(int_fn(head_w), head_w)
 
-    def _integrate_near_zero():
-        t = np.logspace(-15, -1, 1000)
-        arr = int_fn(t)
-        return integrate.trapezoid(arr, t)
-
-    int_nz = _integrate_near_zero()
-    arr = t = None
-    for m, mxlim in zip([1, 1, 4, 8], [1, 20, 80, 160]):
-        arr_, t_, cutoff = _est_arr(mxlim, N=10000 * m)
-        if (len(t_) - cutoff > 1000 * m) and np.sum(np.abs(arr_)) > 1e-5:
-            arr, t = arr_[:cutoff], t_[:cutoff]
+    tail_vals = tail_w = None
+    for mult, upper in _INT_LADDER:
+        n = 10000 * mult
+        # ascending grid on [0.1, upper); built descending then flipped so
+        # the endpoint exclusion lands at the *low* end, matching reference
+        w = np.linspace(upper, .1, n, endpoint=False)[::-1].copy()
+        vals = int_fn(w)
+        mag = np.abs(vals)
+        apex = int(np.argmax(mag))
+        stop = min_neglect_idx(mag[apex:], th=1e-15) + apex
+        converged = (n - stop > 1000 * mult) and mag.sum() > 1e-5
+        if converged:
+            tail_vals, tail_w = vals[:stop], w[:stop]
             break
-    if arr is None:
-        if abs(int_nz) < 1e-5:
+
+    if tail_vals is None:
+        # no rung converged: fall back to the last (longest) sampling,
+        # or to the head alone if even that carries no mass
+        if abs(head) < 1e-5:
             raise Exception("Could not find converging or non-negligibly"
                             "-valued bounds of integration for `int_fn`")
-        elif not nowarn:
+        if not nowarn:
             WARN("Integrated only from 1e-15 to 0.1 in logspace")
-        arr, t = arr_[:cutoff], t_[:cutoff]
-    return integrate.trapezoid(arr, t) + int_nz
+        tail_vals, tail_w = vals[:stop], w[:stop]
+    return integrate.trapezoid(tail_vals, tail_w) + head
 
 
 # --------------------------------------------------------------------------
 # scale bounds
 # --------------------------------------------------------------------------
+# (min_cutoff, max_cutoff, cutoff) defaults — the reference's well-behaved
+# band; spec constants.
+_CUTOFF_DEFAULTS = (.6, .8, -.5)
+
+
 def cwt_scalebounds(wavelet, N, preset=None, min_cutoff=None, max_cutoff=None,
                     cutoff=None, bin_loc=None, bin_amp=None,
                     use_padded_N=True, viz=False):
-    """(min_scale, max_scale) for which `wavelet` is well-behaved.
+    """(min_scale, max_scale) over which `wavelet` is well-behaved.
     Presets 'maximal' / 'minimal' / 'naive' per reference
     cwt_utils.py:66-188."""
-    defaults = dict(min_cutoff=.6, max_cutoff=.8, cutoff=-.5)
+    d_min, d_max, d_cut = _CUTOFF_DEFAULTS
 
     if preset is not None:
         if any(v is not None for v in (min_cutoff, max_cutoff, cutoff)):
             WARN("`preset` will override `min_cutoff, max_cutoff, cutoff`")
-        elif preset == 'minimal' and any(v is not None
-                                         for v in (bin_amp, bin_loc)):
+        elif preset == 'minimal' and (bin_amp is not None or
+                                      bin_loc is not None):
             WARN("`preset='minimal'` ignores `bin_amp` & `bin_loc`")
         assert_is_one_of(preset, 'preset', ('maximal', 'minimal', 'naive'))
-        if preset in ('naive', 'maximal'):
-            min_cutoff, max_cutoff = None, None
+        if preset == 'minimal':
+            min_cutoff, max_cutoff, cutoff = d_min, d_max, d_cut
+        else:  # 'naive' / 'maximal'
+            min_cutoff = max_cutoff = None
             if preset == 'maximal':
-                cutoff = -.5
-        else:
-            min_cutoff, max_cutoff, cutoff = defaults.values()
+                cutoff = d_cut
     else:
         if min_cutoff is None:
-            min_cutoff = defaults['min_cutoff']
+            min_cutoff = d_min
         elif min_cutoff <= 0:
             raise ValueError("`min_cutoff` must be >0 (got %s)" % min_cutoff)
         if max_cutoff is None:
-            max_cutoff = defaults['max_cutoff']
+            max_cutoff = d_max
         elif max_cutoff < min_cutoff:
             raise ValueError("must have `max_cutoff > min_cutoff` "
                              "(got %s, %s)" % (max_cutoff, min_cutoff))
 
-    bin_loc = bin_loc or (2 if preset == 'maximal' else None)
-    bin_amp = bin_amp or (1 if preset == 'maximal' else None)
-    cutoff = cutoff if (cutoff is not None) else defaults['cutoff']
-
     if preset == 'naive':
         return 1, N
 
-    M = p2up(N)[0] if use_padded_N else N
-    min_scale = find_min_scale(wavelet, cutoff=cutoff)
+    if preset == 'maximal':
+        bin_loc = bin_loc or 2
+        bin_amp = bin_amp or 1
+    if cutoff is None:
+        cutoff = d_cut
 
-    if preset in ('minimal', None):
-        max_scale = find_max_scale_alt(wavelet, M, min_cutoff=min_cutoff,
-                                       max_cutoff=max_cutoff)
-    else:
-        max_scale = find_max_scale(wavelet, M, bin_loc=bin_loc,
-                                   bin_amp=bin_amp)
-    return min_scale, max_scale
+    M = p2up(N)[0] if use_padded_N else N
+    lo = find_min_scale(wavelet, cutoff=cutoff)
+    hi = (find_max_scale(wavelet, M, bin_loc=bin_loc, bin_amp=bin_amp)
+          if preset == 'maximal' else
+          find_max_scale_alt(wavelet, M, min_cutoff=min_cutoff,
+                             max_cutoff=max_cutoff))
+    return lo, hi
 
 
 def find_min_scale(wavelet, cutoff=1):
-    """Scale whose largest sampled frequency hits `cutoff * peak`
-    (right of peak if cutoff>0, else left); reference cwt_utils.py:412-431.
-    """
-    fn = _wavelet_fn_np(wavelet)
-    w_peak, peak = find_maximum(fn)
-    if cutoff > 0:
-        step_start, step_limit = w_peak, 10 * w_peak
-    else:
-        step_start, step_limit = 0, w_peak
-
-    w_cutoff, _ = find_first_occurrence(fn, value=abs(cutoff) * peak,
-                                        step_start=step_start,
-                                        step_limit=step_limit)
-    return w_cutoff / pi
+    """Smallest well-behaved scale: where the sampled spectrum first drops
+    to `|cutoff| * peak` — searched right of the peak for cutoff>0, left
+    of it otherwise (reference cwt_utils.py:412-431)."""
+    psih = _freq_fn(wavelet)
+    w_apex, apex = find_maximum(psih)
+    lo, hi = ((w_apex, 10 * w_apex) if cutoff > 0 else (0, w_apex))
+    w_at_cut, _ = find_first_occurrence(psih, value=abs(cutoff) * apex,
+                                        step_start=lo, step_limit=hi)
+    return w_at_cut / pi
 
 
 def find_max_scale(wavelet, N, bin_loc=1, bin_amp=1):
-    """Scale with amplitude `bin_amp` of max at the `bin_loc`-th bin;
-    reference cwt_utils.py:434-456."""
+    """Largest scale: the one placing amplitude `bin_amp`-of-max at DFT
+    bin `bin_loc` (reference cwt_utils.py:434-456)."""
     from ..models.wavelets import Wavelet, center_frequency
     wavelet = Wavelet._init_if_not_isinstance(wavelet)
 
-    wc_ct = center_frequency(wavelet, kind='peak-ct', N=N)
-    scalec_ct = (4 / pi) * wc_ct
+    # anchor at the continuous-time peak-center scale, then rescale so the
+    # left-tail crossing lands on the requested bin
+    wc = center_frequency(wavelet, kind='peak-ct', N=N)
+    s_anchor = (4 / pi) * wc
 
-    psih = wavelet.filterbank_np(np.array([scalec_ct]), N=N,
+    spec = wavelet.filterbank_np(np.array([s_anchor]), N=N,
                                  nohalf=True)[0][:N // 2 + 1]
-    xi = wavelet.xifn_np(scalec_ct, N)
-    midx = np.argmax(psih)
-    w_bin = xi[np.where(psih[:midx] < psih.max() * bin_amp)[0][-1]]
-
-    return scalec_ct * (w_bin / xi[bin_loc])
+    grid = wavelet.xifn_np(s_anchor, N)
+    apex = int(np.argmax(spec))
+    left_tail = np.where(spec[:apex] < spec.max() * bin_amp)[0]
+    w_tail = grid[left_tail[-1]]
+    return s_anchor * (w_tail / grid[bin_loc])
 
 
 def find_max_scale_alt(wavelet, N, min_cutoff=.1, max_cutoff=.8):
-    """'minimal'-preset max scale: smallest xi spacing landing symmetric
-    points about the peak within the cutoff band;
-    reference cwt_utils.py:630-695."""
+    """'minimal'-preset max scale: the coarsest frequency spacing whose
+    grid lands (near-)symmetric points about the spectral peak inside the
+    [min_cutoff, max_cutoff]*peak band (reference cwt_utils.py:630-695)."""
     if max_cutoff <= 0 or min_cutoff <= 0:
         raise ValueError("`max_cutoff` and `min_cutoff` must be positive "
                          "(got %s, %s)" % (max_cutoff, min_cutoff))
@@ -183,31 +203,71 @@ def find_max_scale_alt(wavelet, N, min_cutoff=.1, max_cutoff=.8):
         raise ValueError("must have `max_cutoff > min_cutoff` "
                          "(got %s, %s)" % (max_cutoff, min_cutoff))
 
-    fn = _wavelet_fn_np(wavelet)
-    w_peak, peak = find_maximum(fn)
+    psih = _freq_fn(wavelet)
+    w_apex, apex = find_maximum(psih)
+    w_at_cut, _ = find_first_occurrence(psih, value=min_cutoff * apex,
+                                        step_start=0, step_limit=w_apex)
 
-    w_cutoff, _ = find_first_occurrence(fn, value=min_cutoff * peak,
-                                        step_start=0, step_limit=w_peak)
-    w_ltp = np.arange(w_cutoff, w_peak, step=1 / N)  # left-to-peak
-
-    div_size = (w_peak - w_ltp[:-1]) * 2  # doubled so peak is skipped
-    n_divs = w_ltp[:-1] / div_size
-    try:
-        idx = np.where(np.diff(n_divs % 1) < -.8)[0][0]
-    except IndexError:
+    # candidate left-band frequencies at 1/N resolution; a spacing of
+    # 2*(peak - w) puts w and its mirror on-grid while skipping the peak
+    cand = np.arange(w_at_cut, w_apex, step=1 / N)
+    spacing = 2 * (w_apex - cand[:-1])
+    frac = (cand[:-1] / spacing) % 1
+    # near-integer division counts show as a wrap in the fractional part
+    wraps = np.where(np.diff(frac) < -.8)[0]
+    if len(wraps) == 0:
         raise Exception("Failed to find sufficiently-integer xi divisions; "
                         "try widening (min_cutoff, max_cutoff)")
-    div_scale = div_size[idx + 1]
-    w_1div = pi / (N / 2)
-    return div_scale / w_1div
+    chosen = spacing[wraps[0] + 1]
+    return chosen / (pi / (N / 2))  # in units of one DFT-bin spacing
 
 
 # --------------------------------------------------------------------------
 # scale construction / classification
 # --------------------------------------------------------------------------
-def _assert_positive_integer(g, name=''):
+def _as_posint(g, name=''):
     if not (g > 0 and float(g).is_integer()):
         raise ValueError(f"'{name}' must be a positive integer (got {g})")
+    return int(g)
+
+
+def _scales_from_spec(spec, N, wavelet, nv, get_params, use_padded_N):
+    """'log[-piecewise]' / 'linear' [+':preset'] string -> scales array."""
+    preset = None
+    if ':' in spec:
+        spec, preset = spec.split(':')
+    elif spec == 'log-piecewise':
+        preset = 'maximal'
+    assert_is_one_of(spec, 'scales', ('log', 'log-piecewise', 'linear'))
+    if wavelet is None:
+        raise ValueError("must set `wavelet` if `scales` isn't array")
+    if nv is None:
+        nv = 32
+    if not isinstance(nv, np.ndarray):
+        nv = _as_posint(nv, 'nv')
+
+    lo, hi = cwt_scalebounds(wavelet, N=N, preset=preset,
+                             use_padded_N=use_padded_N)
+    scales = make_scales(N, lo, hi, nv=nv, scaletype=spec, wavelet=wavelet)
+    return (scales, spec, len(scales), nv) if get_params else scales
+
+
+def _scales_from_array(arr, nv, get_params):
+    """Validate a user scales array and classify its spacing."""
+    arr = arr if isinstance(arr, np.ndarray) else np.asarray(arr, np.float64)
+    if arr.squeeze().ndim != 1:
+        raise ValueError("`scales`, if array, must be 1D "
+                         "(got shape %s)" % str(arr.shape))
+    kind, nv_inferred = infer_scaletype(arr)
+    if kind == 'log':
+        if nv is not None and nv_inferred != nv:
+            raise Exception("`nv` used in `scales` differs from `nv` "
+                            "passed (%s != %s)" % (nv_inferred, nv))
+        nv = nv_inferred
+    elif kind == 'log-piecewise':
+        nv = nv_inferred
+    arr = arr.reshape(-1, 1)
+    return (arr, kind, len(arr), nv) if get_params else arr
 
 
 def process_scales(scales, N, wavelet=None, nv=None, get_params=False,
@@ -215,50 +275,13 @@ def process_scales(scales, N, wavelet=None, nv=None, get_params=False,
     """String spec -> generated scales; array -> validated (na,1) array.
     With `get_params`: (scales, scaletype, na, nv).
     Reference cwt_utils.py:196-261."""
-    preset = None
     if isinstance(scales, str):
-        if ':' in scales:
-            scales, preset = scales.split(':')
-        elif scales == 'log-piecewise':
-            preset = 'maximal'
-        assert_is_one_of(scales, 'scales',
-                         ('log', 'log-piecewise', 'linear'))
-        if nv is None:
-            nv = 32
-        if wavelet is None:
-            raise ValueError("must set `wavelet` if `scales` isn't array")
-        scaletype = scales
-        if nv is not None and not isinstance(nv, np.ndarray):
-            _assert_positive_integer(nv, 'nv')
-            nv = int(nv)
-
-        min_scale, max_scale = cwt_scalebounds(wavelet, N=N, preset=preset,
-                                               use_padded_N=use_padded_N)
-        scales = make_scales(N, min_scale, max_scale, nv=nv,
-                             scaletype=scaletype, wavelet=wavelet)
-        na = len(scales)
-        return (scales if not get_params else (scales, scaletype, na, nv))
-
-    elif hasattr(scales, 'ndim'):
-        scales = np.asarray(scales, dtype=np.float64) \
-            if not isinstance(scales, np.ndarray) else scales
-        if scales.squeeze().ndim != 1:
-            raise ValueError("`scales`, if array, must be 1D "
-                             "(got shape %s)" % str(scales.shape))
-        scaletype, _nv = infer_scaletype(scales)
-        if scaletype == 'log':
-            if nv is not None and _nv != nv:
-                raise Exception("`nv` used in `scales` differs from `nv` "
-                                "passed (%s != %s)" % (_nv, nv))
-            nv = _nv
-        elif scaletype == 'log-piecewise':
-            nv = _nv
-        scales = scales.reshape(-1, 1)
-        return (scales if not get_params else
-                (scales, scaletype, len(scales), nv))
-    else:
-        raise TypeError("`scales` must be a string or array "
-                        "(got %s)" % type(scales))
+        return _scales_from_spec(scales, N, wavelet, nv, get_params,
+                                 use_padded_N)
+    if hasattr(scales, 'ndim'):
+        return _scales_from_array(scales, nv, get_params)
+    raise TypeError("`scales` must be a string or array "
+                    "(got %s)" % type(scales))
 
 
 def infer_scaletype(scales):
@@ -269,23 +292,23 @@ def infer_scaletype(scales):
         raise TypeError("`scales.dtype` must be np.float32 or np.float64 "
                         "(got %s)" % scales.dtype)
 
+    # flatness-of-second-difference thresholds (f64 / f32 precision floors)
     th_log = 4e-15 if scales.dtype == np.float64 else 8e-7
-    th_lin = th_log * 1e3
+    log_curv = np.mean(np.abs(np.diff(np.log(scales), 2, axis=0)))
+    if log_curv < th_log:
+        nv = 1 / np.diff(np.log2(scales), axis=0)[0].squeeze()
+        return 'log', int(np.round(nv))
 
-    if np.mean(np.abs(np.diff(np.log(scales), 2, axis=0))) < th_log:
-        scaletype = 'log'
-        nv = int(np.round(1 / np.diff(np.log2(scales), axis=0)[0].squeeze()))
-    elif np.mean(np.abs(np.diff(scales, 2, axis=0))) < th_lin:
-        scaletype = 'linear'
-        nv = None
-    elif logscale_transition_idx(scales) is None:
-        raise ValueError("could not infer `scaletype` from `scales`; "
-                         "must be linear or exponential (got diff(scales)="
-                         "%s..." % np.diff(scales, axis=0)[:4])
-    else:
-        scaletype = 'log-piecewise'
-        nv = nv_from_scales(scales)
-    return scaletype, nv
+    lin_curv = np.mean(np.abs(np.diff(scales, 2, axis=0)))
+    if lin_curv < th_log * 1e3:
+        return 'linear', None
+
+    if logscale_transition_idx(scales) is not None:
+        return 'log-piecewise', nv_from_scales(scales)
+
+    raise ValueError("could not infer `scaletype` from `scales`; "
+                     "must be linear or exponential (got diff(scales)="
+                     "%s..." % np.diff(scales, axis=0)[:4])
 
 
 def make_scales(N, min_scale=None, max_scale=None, nv=32, scaletype='log',
@@ -301,28 +324,28 @@ def make_scales(N, min_scale=None, max_scale=None, nv=32, scaletype='log',
     else:
         min_scale = min_scale or 1
         max_scale = max_scale or N
-    downsample = int(downsample if downsample is not None else
-                     get_config().downsample)
+    if downsample is None:
+        downsample = get_config().downsample
+    downsample = int(downsample)
 
+    # voice grid: na log-steps of 2**(1/nv) from min_scale
     na = int(np.ceil(nv * np.log2(max_scale / min_scale)))
-    mn_pow = int(np.floor(nv * np.log2(min_scale)))
-    mx_pow = mn_pow + na
+    pow_lo = int(np.floor(nv * np.log2(min_scale)))
+    powers = np.arange(pow_lo, pow_lo + na)
 
     if scaletype == 'log':
-        scales = 2 ** (np.arange(mn_pow, mx_pow) / nv)
+        scales = 2 ** (powers / nv)
     elif scaletype == 'log-piecewise':
-        scales = 2 ** (np.arange(mn_pow, mx_pow) / nv)
-        idx = find_downsampling_scale(wavelet, scales)
-        if idx is not None:
-            # `+downsample-1` so scales2 continues from scales1 at the
-            # downsampled rate (reference cwt_utils.py:353-360)
-            scales1 = scales[:idx]
-            scales2 = scales[idx + downsample - 1::downsample]
-            scales = np.hstack([scales1, scales2])
+        scales = 2 ** (powers / nv)
+        split = find_downsampling_scale(wavelet, scales)
+        if split is not None:
+            # `+downsample-1` so the coarse tail continues from the fine
+            # head at the downsampled rate (reference cwt_utils.py:353-360)
+            scales = np.hstack([scales[:split],
+                                scales[split + downsample - 1::downsample]])
     elif scaletype == 'linear':
-        min_scale, max_scale = 2 ** (mn_pow / nv), 2 ** (mx_pow / nv)
-        na = int(np.ceil(max_scale / min_scale))
-        scales = np.linspace(min_scale, max_scale, na)
+        lo, hi = 2 ** (pow_lo / nv), 2 ** ((pow_lo + na) / nv)
+        scales = np.linspace(lo, hi, int(np.ceil(hi / lo)))
     else:
         raise ValueError("`scaletype` must be 'log' or 'linear'; "
                          "got: %s" % scaletype)
@@ -333,30 +356,31 @@ def logscale_transition_idx(scales):
     """Split index of a two-piece log scale array, else None;
     reference cwt_utils.py:375-394."""
     scales = np.asarray(scales)
-    scales_diff2 = np.abs(np.diff(np.log(scales), 2, axis=0))
-    idx = int(np.argmax(scales_diff2)) + 2
-    diff2_max = scales_diff2.max()
-    scales_diff2[idx - 2] = 0
+    curv = np.abs(np.diff(np.log(scales), 2, axis=0))
+    spike = float(curv.max())
+    at = int(np.argmax(curv))
+    rest = curv.copy()
+    rest[at] = 0
 
+    # exactly one spike (>100x the mean), everything else at precision floor
     th = 1e-14 if scales.dtype == np.float64 else 1e-6
-    if not np.any(diff2_max > 100 * np.abs(scales_diff2).mean()):
+    if spike <= 100 * np.abs(rest).mean():
         return None
-    elif not np.all(np.abs(scales_diff2) < th):
+    if np.any(np.abs(rest) >= th):
         return None
-    return idx
+    return at + 2
 
 
 def nv_from_scales(scales):
     """Per-scale `nv` array (length len(scales)); reference
     cwt_utils.py:397-409."""
     scales = np.asarray(scales).reshape(-1, 1)
-    logdiffs = 1 / np.diff(np.log2(scales), axis=0)
-    nv = np.vstack([logdiffs[:1], logdiffs])
-    idx = logscale_transition_idx(scales)
-    if idx is not None:
-        nv_transition_idx = int(np.argmax(np.abs(np.diff(nv, axis=0)))) + 1
-        assert nv_transition_idx == idx, \
-            "%s != %s" % (nv_transition_idx, idx)
+    inv_step = 1 / np.diff(np.log2(scales), axis=0)
+    nv = np.vstack([inv_step[:1], inv_step])
+    split = logscale_transition_idx(scales)
+    if split is not None:
+        jump = int(np.argmax(np.abs(np.diff(nv, axis=0)))) + 1
+        assert jump == split, "%s != %s" % (jump, split)
     return nv
 
 
@@ -364,8 +388,10 @@ def find_downsampling_scale(wavelet, scales, span=5, tol=3, method='sum',
                             nonzero_th=.02, nonzero_tol=4., N=None,
                             viz=False):
     """Index of the first scale where freq-domain wavelets become
-    excessively redundant (peak-distance test over `span`-groups);
-    reference cwt_utils.py:459-580."""
+    excessively redundant: scanning `span`-row windows, a window is
+    redundant when its rows are (a) narrow (few above-threshold bins per
+    row) and (b) bunched (row peaks within `tol` bins of the window's
+    joint peak, reduced per `method`). Reference cwt_utils.py:459-580."""
     assert_is_one_of(method, 'method', ('any', 'all', 'sum'))
     from ..models.wavelets import Wavelet
 
@@ -381,37 +407,41 @@ def find_downsampling_scale(wavelet, scales, span=5, tol=3, method='sum',
                          % (len(Psih), len(scales)))
 
     Psih = Psih[:, :Psih.shape[1] // 2]  # analytic: right half is zero
-    n_scales = len(Psih)
-    n_groups = n_scales - span - 1
+    n_windows = len(Psih) - span - 1
+    if n_windows <= 0:
+        return None
 
     if not viz:
         # C++ host-plan engine (native/planlib.cpp); exact twin of the
-        # Python loop below — falls through when no toolchain exists
+        # scan below — falls through when no toolchain exists
         from ..native import find_downsampling_scale_native
         out = find_downsampling_scale_native(Psih, span, tol, nonzero_th,
                                              nonzero_tol, method)
         if out is not NotImplemented:
             return out
 
-    i = None
-    for i in range(n_groups):
-        psihs = Psih[i:i + span]
+    # per-row stats once, window tests by moving sum
+    row_max = Psih.max(axis=1, keepdims=True)
+    wide_bins = (Psih > nonzero_th * row_max).sum(axis=1)
 
-        nonzeros = (psihs > nonzero_th * psihs.max(axis=1)[:, None])
-        if nonzeros.sum() / span > nonzero_tol:
-            continue
-
-        peaks = np.where(psihs == psihs.max(axis=1)[:, None])
-        joint_peak = np.argmax(np.prod(psihs, 0))
-        distances = np.abs(peaks[1] - joint_peak)
-
-        too_dense = (
-            (method == 'any' and distances.max() < tol) or
-            (method == 'all' and not np.all(distances > tol)) or
-            (method == 'sum' and distances.sum() < tol))
-        if too_dense:
+    hit = None
+    for w0 in range(n_windows):
+        rows = Psih[w0:w0 + span]
+        if wide_bins[w0:w0 + span].sum() / span > nonzero_tol:
+            continue  # rows too wide — not yet redundant territory
+        ridx, peak_cols = np.where(rows == row_max[w0:w0 + span])
+        joint = int(np.argmax(np.prod(rows, 0)))
+        spread = np.abs(peak_cols - joint)
+        bunched = ((method == 'any' and spread.max() < tol) or
+                   (method == 'all' and not np.all(spread > tol)) or
+                   (method == 'sum' and spread.sum() < tol))
+        if bunched:
+            hit = w0
             break
-    return i if (i is not None and i < n_groups - 1) else None
+
+    # a hit on the very last window is indistinguishable from "never" in
+    # the reference's contract
+    return hit if (hit is not None and hit < n_windows - 1) else None
 
 
 def _process_fs_and_t(fs, t, N):
@@ -423,13 +453,11 @@ def _process_fs_and_t(fs, t, N):
         if len(t) != N:
             raise Exception("`t` must be of same length as `x` "
                             "(%s != %s)" % (len(t), N))
-        elif not np.mean(np.abs(np.diff(t, 2, axis=0))) < 1e-7:
+        if not (np.mean(np.abs(np.diff(t, 2, axis=0))) < 1e-7):
             raise Exception("Time vector `t` must be uniformly sampled.")
         fs = 1 / (t[1] - t[0])
-    else:
-        if fs is None:
-            fs = 1
-        elif fs <= 0:
-            raise ValueError("`fs` must be > 0")
-    dt = 1 / fs
-    return dt, fs, t
+    elif fs is None:
+        fs = 1
+    elif fs <= 0:
+        raise ValueError("`fs` must be > 0")
+    return 1 / fs, fs, t
