@@ -17,6 +17,16 @@ Variants (all on the same inputs, same output shape):
   static  — no dynamic control flow at all: 8 full-plane rolls x a
             trace-time q window from the placed offsets (EXACT — a
             redesign candidate, not an ablation)
+  croll   — tier-1 with v2/dm2 rolled as ONE concatenated (G+8, 4T)
+            plane per residue (8 roll ops instead of 16; same lane
+            work — isolates Mosaic per-op overhead on rolls)
+  fold    — folded tier-2 (redesign candidate, EXACT): outlier planes
+            fold 384->48 rows by residue-class sums (3 halving adds);
+            a fold row is valid when its column holds EXACTLY ONE
+            outlier (the overwhelming case at 0.35% density), so the
+            extraction loop runs on the compact (48,T) plane; columns
+            with chunk collisions (cnt>=2) fall back to the original
+            full-plane loop (usually 0 iterations)
 Usage: python scripts/tpu_scatter_ablate.py [variants...] [T=1024]
 """
 import functools
@@ -118,6 +128,17 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                 if variant == 'noroll':
                     vrs = [vg] * 8
                     dmrs = [dmg] * 8
+                elif variant == 'croll':
+                    # ONE roll per residue on a concatenated (G+8, 4T)
+                    # plane (dm bitcast to float lanes), halving roll op
+                    # count; lane work is identical
+                    cg = jnp.concatenate(
+                        [vg, jax.lax.bitcast_convert_type(dmg, dt)],
+                        axis=1)
+                    crs = [cg] + [pltpu.roll(cg, r, 0) for r in range(1, 8)]
+                    vrs = [c[:, :2 * T] for c in crs]
+                    dmrs = [jax.lax.bitcast_convert_type(
+                        c[:, 2 * T:], jnp.int32) for c in crs]
                 else:
                     vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
                     dmrs = [dmg] + [pltpu.roll(dmg, r, 0)
@@ -144,6 +165,59 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
 
         oaccr[:] = jnp.zeros((nbins_pad, T), dt)
         oacci[:] = jnp.zeros((nbins_pad, T), dt)
+        if variant == 'fold':
+            # ---- folded tier 2: compact the sparse outliers 8x, extract
+            # from the (F, T) plane; chunk-collision columns fall through
+            # to the exact full-plane loop below (usually 0 iterations)
+            rows_f = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
+            babs_f = dm + rows_f
+            F = na_pad // 8
+            omf = om.astype(dt)
+
+            def fold8(x):
+                h = x.shape[0]
+                while h > F:
+                    h //= 2
+                    x = x[:h] + x[h:]
+                return x
+
+            cnt = fold8(om.astype(jnp.int32))
+            vfr = fold8(vre * omf)
+            vfi = fold8(vim * omf)
+            bf = fold8(jnp.where(om, babs_f, 0))
+            single = cnt == 1
+            frows = jax.lax.broadcasted_iota(jnp.int32, (F, T), 0)
+            fio = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, T), 0)
+            fmax = jnp.max(jnp.sum(single.astype(jnp.int32), axis=0))
+
+            def fbody(it, al_i):
+                alive = al_i != 0
+                rlo = jnp.min(jnp.where(alive, frows, _BIG), axis=0,
+                              keepdims=True)
+                rhi = jnp.max(jnp.where(alive, frows, -_BIG), axis=0,
+                              keepdims=True)
+                sel_lo = (frows == rlo) & alive
+                sel_hi = (frows == rhi) & alive & (rhi != rlo)
+                flo, fhi = sel_lo.astype(dt), sel_hi.astype(dt)
+                b_lo = jnp.sum(jnp.where(sel_lo, bf, 0), axis=0,
+                               keepdims=True)
+                b_hi = jnp.sum(jnp.where(sel_hi, bf, 0), axis=0,
+                               keepdims=True)
+                vr_lo = jnp.sum(vfr * flo, axis=0, keepdims=True)
+                vi_lo = jnp.sum(vfi * flo, axis=0, keepdims=True)
+                vr_hi = jnp.sum(vfr * fhi, axis=0, keepdims=True)
+                vi_hi = jnp.sum(vfi * fhi, axis=0, keepdims=True)
+                m_lo = ((fio == b_lo) & (rlo < _BIG)).astype(dt)
+                m_hi = ((fio == b_hi) & (rhi > -_BIG) &
+                        (rhi != rlo)).astype(dt)
+                oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
+                oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
+                return al_i * (1 - (sel_lo | sel_hi).astype(jnp.int32))
+
+            jax.lax.fori_loop(0, (fmax + 1) // 2, fbody,
+                              single.astype(jnp.int32), unroll=False)
+            coll = cnt >= 2
+            om = om & jnp.concatenate([coll] * 8, axis=0)
         if variant not in ('not2', 'fixed'):
             rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
             babs = dm + rows
@@ -339,7 +413,8 @@ def main():
             ref = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 'full', T)[0][:, ::371]))
-        elif ref is not None and v in ('global', 'static'):
+        elif ref is not None and v.split(':')[0] in ('global', 'static',
+                                                     'fold', 'croll'):
             got = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 v, T)[0][:, ::371]))
