@@ -8,11 +8,10 @@ cd /root/repo
 
 echo "=== STAGE ablate  $(date -u +%H:%M:%S)"
 timeout 2400 python scripts/tpu_scatter_ablate.py full not2 not1 noroll \
-    fixed global static
-echo "=== STAGE ablate-T2048  $(date -u +%H:%M:%S)"
-timeout 1200 python scripts/tpu_scatter_ablate.py full global static T=2048
-echo "=== STAGE kv-ab  $(date -u +%H:%M:%S)"
-timeout 1800 python scripts/tpu_scatter_bench.py
+    fixed croll fold
+echo "=== STAGE fold-e2e  $(date -u +%H:%M:%S)"
+timeout 1200 python scripts/tpu_time.py
+timeout 1200 env SSQTPU_SCATTER_TIER2=fold python scripts/tpu_time.py
 echo "=== STAGE profile  $(date -u +%H:%M:%S)"
 timeout 2400 python scripts/profile_ssq.py
 echo "=== STAGE bench  $(date -u +%H:%M:%S)"

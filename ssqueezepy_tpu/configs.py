@@ -57,6 +57,12 @@ class Config:
     # (full-plane rolls over a trace-time q window — zero dynamic
     # control flow; candidate redesign, scripts/tpu_scatter_ablate.py)
     scatter_mode: str = 'group'
+    # tier-2 (out-of-band outlier) strategy in the shift-scatter
+    # kernels: 'loop' (extract 2 per column per iteration from the full
+    # plane) or 'fold' (compact the sparse outliers 8x by residue-class
+    # sums and extract from the folded plane; chunk-collision columns
+    # fall back to the exact full-plane loop)
+    scatter_tier2: str = 'loop'
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -82,6 +88,9 @@ def _from_env(cfg):
     sm = os.environ.get('SSQTPU_SCATTER_MODE')
     if sm:
         cfg.scatter_mode = sm
+    t2 = os.environ.get('SSQTPU_SCATTER_TIER2')
+    if t2:
+        cfg.scatter_tier2 = t2
     return cfg
 
 

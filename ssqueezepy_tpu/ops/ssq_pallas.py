@@ -76,7 +76,8 @@ def _static_plan(offs_np, na_pad, nbins_pad, mode):
 
 
 def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
-                        oaccr, oacci, outr, outi, static_plan=None):
+                        oaccr, oacci, outr, outi, static_plan=None,
+                        tier2='loop'):
     """Shared two-tier scatter core: out[row + d] += v with d = dm (the
     caller masks invalid cells to _BIG and guarantees row + d in
     [0, nbins) for the rest).
@@ -186,6 +187,61 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
     babs = dm + rows                       # absolute target bin
     biota = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, T), 0)
+
+    if tier2 == 'fold':
+        # Compact the sparse outliers 8x first: fold the planes into
+        # (na_pad/8, T) residue-class sums (3 halving adds each). A fold
+        # row is usable when its column's chunk holds EXACTLY ONE
+        # outlier (the overwhelming case at the measured 0.35% density),
+        # so the extraction loop below runs on the small folded plane;
+        # chunk-collision columns (cnt >= 2) stay in `om` and take the
+        # exact full-plane loop after (usually 0 iterations).
+        F = na_pad // 8
+        omf = om.astype(dt)
+
+        def fold8(x):
+            h = x.shape[0]
+            while h > F:
+                h //= 2
+                x = x[:h] + x[h:]
+            return x
+
+        cnt = fold8(om.astype(jnp.int32))
+        vfr = fold8(vre * omf)
+        vfi = fold8(vim * omf)
+        bf = fold8(jnp.where(om, babs, 0))
+        single = cnt == 1
+        frows = jax.lax.broadcasted_iota(jnp.int32, (F, T), 0)
+        fmax = jnp.max(jnp.sum(single.astype(jnp.int32), axis=0))
+
+        def fbody(it, al_i):
+            alive = al_i != 0
+            rlo = jnp.min(jnp.where(alive, frows, _BIG), axis=0,
+                          keepdims=True)
+            rhi = jnp.max(jnp.where(alive, frows, -_BIG), axis=0,
+                          keepdims=True)
+            sel_lo = (frows == rlo) & alive
+            sel_hi = (frows == rhi) & alive & (rhi != rlo)
+            flo, fhi = sel_lo.astype(dt), sel_hi.astype(dt)
+            b_lo = jnp.sum(jnp.where(sel_lo, bf, 0), axis=0,
+                           keepdims=True)
+            b_hi = jnp.sum(jnp.where(sel_hi, bf, 0), axis=0,
+                           keepdims=True)
+            vr_lo = jnp.sum(vfr * flo, axis=0, keepdims=True)
+            vi_lo = jnp.sum(vfi * flo, axis=0, keepdims=True)
+            vr_hi = jnp.sum(vfr * fhi, axis=0, keepdims=True)
+            vi_hi = jnp.sum(vfi * fhi, axis=0, keepdims=True)
+            m_lo = ((biota == b_lo) & (rlo < _BIG)).astype(dt)
+            m_hi = ((biota == b_hi) & (rhi > -_BIG) &
+                    (rhi != rlo)).astype(dt)
+            oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
+            oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
+            return al_i * (1 - (sel_lo | sel_hi).astype(jnp.int32))
+
+        jax.lax.fori_loop(0, (fmax + 1) // 2, fbody,
+                          single.astype(jnp.int32), unroll=False)
+        om = om & jnp.concatenate([cnt >= 2] * 8, axis=0)
+
     max_cnt = jnp.max(jnp.sum(om.astype(jnp.int32), axis=0))
 
     def obody(it, om_i):
@@ -367,7 +423,7 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
 
 
 def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
-                       has_sfs, static_plan=None):
+                       has_sfs, static_plan=None, tier2='loop'):
     omax = params['omax']
 
     def kernel(*refs):
@@ -408,7 +464,7 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
 
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
                             acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan)
+                            static_plan=static_plan, tier2=tier2)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -429,10 +485,10 @@ def _offs_column(nat_key, perm, na, na_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     'param_items', 'gamma', 'flipud', 'perm', 'nat_key', 'has_sfs',
-    'interpret', 'T', 'scatter_mode'))
+    'interpret', 'T', 'scatter_mode', 'scatter_tier2'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                     gamma, flipud, perm, nat_key, has_sfs, interpret,
-                    T=1024, scatter_mode='group'):
+                    T=1024, scatter_mode='group', scatter_tier2='loop'):
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
@@ -481,7 +537,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
     splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
     kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
                                 flipud, params['mode'], has_sfs,
-                                static_plan=splan)
+                                static_plan=splan, tier2=scatter_tier2)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
@@ -505,7 +561,8 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
 @functools.lru_cache(maxsize=64)
 def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
-                      interpret, T, scatter_mode='group'):
+                      interpret, T, scatter_mode='group',
+                      scatter_tier2='loop'):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     formulation of the identical math (the gradient of the reassignment
     w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
@@ -528,7 +585,8 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
         return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
                                param_items, gamma, flipud, perm, nat_key,
                                has_sfs, interpret, T=T,
-                               scatter_mode=scatter_mode)
+                               scatter_mode=scatter_mode,
+                               scatter_tier2=scatter_tier2)
 
     def f_fwd(*args):
         return f(*args), args
@@ -564,7 +622,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
     call2d = _ssq_fused_vjp_fn(
         tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
         nat_key, Sfs is not None, bool(interpret), int(T),
-        str(get_config().scatter_mode))
+        str(get_config().scatter_mode), str(get_config().scatter_tier2))
 
     def call(wr, wi, dr, di):
         return call2d(wr, wi, dr, di, const_col, Sfs_col)
@@ -586,7 +644,8 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # HBM; this kernel multiplies Wx by the per-row squeeze constant,
 # extracts edge-clamped bins via static reductions, and shift-scatters
 # --------------------------------------------------------------------------
-def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None):
+def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None,
+                    tier2='loop'):
     omax = nbins - 1
 
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
@@ -615,7 +674,7 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None):
         dm = jnp.where(valid & ~edge, k - rows, _BIG)
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
                             acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan)
+                            static_plan=static_plan, tier2=tier2)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -625,9 +684,11 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None):
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
                                              'interpret', 'T',
-                                             'scatter_mode'))
+                                             'scatter_mode',
+                                             'scatter_tier2'))
 def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
-                     interpret, T=1024, scatter_mode='group'):
+                     interpret, T=1024, scatter_mode='group',
+                     scatter_tier2='loop'):
     na, N = wxr.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -663,7 +724,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
     offs = jnp.asarray(offs_np)
     splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
     kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins,
-                             static_plan=splan)
+                             static_plan=splan, tier2=scatter_tier2)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -690,7 +751,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
 
 @functools.lru_cache(maxsize=64)
 def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T,
-                       scatter_mode='group'):
+                       scatter_mode='group', scatter_tier2='loop'):
     """custom_vjp: forward = k-consuming Pallas scatter; backward =
     adjoint gather via the XLA formulation (k is integer-valued and
     carries no tangent)."""
@@ -705,7 +766,8 @@ def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T,
     def f(wxr, wxi, k, const_col):
         return _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm,
                                 nat_key, interpret, T=T,
-                                scatter_mode=scatter_mode)
+                                scatter_mode=scatter_mode,
+                                scatter_tier2=scatter_tier2)
 
     def f_fwd(*args):
         return f(*args), args
@@ -734,7 +796,8 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
     from ..configs import get_config
     f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
-                           int(T), str(get_config().scatter_mode))
+                           int(T), str(get_config().scatter_mode),
+                           str(get_config().scatter_tier2))
     if Wx.re.ndim == 3:
         outr, outi = jax.vmap(
             lambda a, b, kk: f(a, b, kk, const_col))(Wx.re, Wx.im, k)
@@ -743,7 +806,8 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     return Complex(outr, outi)
 
 
-def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None):
+def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None,
+                         tier2='loop'):
     def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = vre_r.dtype
@@ -758,15 +822,16 @@ def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None):
         vim = vim_r[:] * validf
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
                             acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan)
+                            static_plan=static_plan, tier2=tier2)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
                                              'interpret', 'T',
-                                             'scatter_mode'))
+                                             'scatter_mode',
+                                             'scatter_tier2'))
 def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
-                  T=512, scatter_mode='group'):
+                  T=512, scatter_mode='group', scatter_tier2='loop'):
     na, N = vre.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -800,7 +865,8 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
 
     splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
-    kernel = _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=splan)
+    kernel = _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=splan,
+                                  tier2=scatter_tier2)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
@@ -827,7 +893,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
 
 @functools.lru_cache(maxsize=64)
 def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T,
-                    scatter_mode='group'):
+                    scatter_mode='group', scatter_tier2='loop'):
     """custom_vjp: Pallas scatter forward; backward is the adjoint gather
     (via jax.vjp of the XLA scatter — bin indices are integer inputs and
     carry no tangent)."""
@@ -839,7 +905,8 @@ def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T,
     @jax.custom_vjp
     def f(vre, vim, k, valid):
         return _scatter_call(vre, vim, k, valid, nbins, perm, nat_key,
-                             interpret, T=T, scatter_mode=scatter_mode)
+                             interpret, T=T, scatter_mode=scatter_mode,
+                             scatter_tier2=scatter_tier2)
 
     def f_fwd(*args):
         return f(*args), args
@@ -865,6 +932,7 @@ def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
                else None)
     from ..configs import get_config
     f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T),
-                        str(get_config().scatter_mode))
+                        str(get_config().scatter_mode),
+                        str(get_config().scatter_tier2))
     outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)
