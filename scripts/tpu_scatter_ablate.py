@@ -20,6 +20,11 @@ Variants (all on the same inputs, same output shape):
   croll   — tier-1 with v2/dm2 rolled as ONE concatenated (G+8, 4T)
             plane per residue (8 roll ops instead of 16; same lane
             work — isolates Mosaic per-op overhead on rolls)
+  horner  — output-centric tier-1 (redesign candidate, EXACT):
+            out[b] = sum_j v[b+j]*[dm[b+j] == -j] accumulated by a
+            Horner chain S = roll(S, -1) + v*(dm == -j) — 4 straight-
+            line full-plane ops per displacement, no groups, no dynamic
+            fori, no accumulator slice read-modify-writes
   fold    — folded tier-2 (redesign candidate, EXACT): outlier planes
             fold 384->48 rows by residue-class sums (3 halving adds);
             a fold row is valid when its column holds EXACTLY ONE
@@ -98,6 +103,30 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                 return 0
 
             jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
+        elif variant == 'horner':
+            # output-centric static sweep: bin b at plane row
+            # r0 + b - dlo accumulates v[b+(-d)]... via a Horner chain
+            # S = roll(S, 1) + vP*(dmP == d), d descending over the
+            # static window — 4 straight-line ops per displacement,
+            # no groups, no fori, no acc slices
+            dlo, dhi = qstat
+            r0 = (8 - ((-dlo) % 8)) % 8
+            H = -(-max(r0 + na_pad + (dhi - dlo) + 8,
+                       r0 + nbins_pad - dlo) // 8) * 8
+            parts_v = [v2, jnp.zeros((H - r0 - na_pad, 2 * T), dt)]
+            parts_d = [dm2, jnp.full((H - r0 - na_pad, 2 * T), _BIG,
+                                     jnp.int32)]
+            if r0:
+                parts_v.insert(0, jnp.zeros((r0, 2 * T), dt))
+                parts_d.insert(0, jnp.full((r0, 2 * T), _BIG, jnp.int32))
+            vP = jnp.concatenate(parts_v, axis=0)
+            dmP = jnp.concatenate(parts_d, axis=0)
+            S = vP * (dmP == dhi).astype(dt)
+            for d in range(dhi - 1, dlo - 1, -1):
+                S = pltpu.roll(S, 1, 0) + vP * (dmP == d).astype(dt)
+            off0 = r0 - dlo
+            assert off0 % 8 == 0 and off0 + nbins_pad <= H
+            acc[pl.ds(base_off, nbins_pad)] = S[off0:off0 + nbins_pad]
         elif variant == 'static':
             # STATIC two-tier sweep: no dynamic fori, no per-group
             # ranges — 8 full-plane rolls x a trace-time q window from
@@ -301,6 +330,9 @@ def scatter_variant(wxr, wxi, k, const_col, nbins, nat_key, variant,
         qhi_s = int(np.floor((offs_np.max() + band) / 8))
         assert qlo_s >= -7, (qlo_s, "grow base_off for this geometry")
         qstat = (qlo_s, qhi_s)
+    elif variant == 'horner':
+        offs_np = np.asarray(sp._placed_offs(nat_key, pos, plane))
+        qstat = (int(offs_np.min()) - band, int(offs_np.max()) + band)
     na_pad = plane
     nbins_pad = -(-max(nbins, 8) // 8) * 8
     N_pad = -(-N // T) * T
@@ -414,7 +446,8 @@ def main():
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 'full', T)[0][:, ::371]))
         elif ref is not None and v.split(':')[0] in ('global', 'static',
-                                                     'fold', 'croll'):
+                                                     'fold', 'croll',
+                                                     'horner'):
             got = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 v, T)[0][:, ::371]))
