@@ -46,7 +46,7 @@ def test_scatter_vjp_is_adjoint_gather():
 
 @pytest.mark.parametrize('mode', ['lin', 'log'])
 def test_fused_vjp_matches_xla_grad(mode):
-    from tests.test_ssq_pallas import _grids
+    from test_ssq_pallas import _grids
     na, N = 48, 100
     freqs = _grids(mode, na)
     params = ssq_bin_params(freqs, logscale=(mode == 'log'))

@@ -34,7 +34,10 @@ def _import_reference():
             shim.njit = _jit
             shim.prange = range
             sys.modules['numba'] = shim
-        sys.path.insert(0, '/root/reference')
+        # APPEND (not insert-front): /root/reference has a top-level
+        # `tests` package that would otherwise shadow this repo's tests
+        # namespace during a full-suite run
+        sys.path.append('/root/reference')
     try:
         import ssqueezepy as ref
     except Exception as e:        # pragma: no cover
