@@ -280,12 +280,14 @@ def dryrun_multichip(n_devices):
     `n_devices` mesh: forward sharded ssq_cwt, plus a gradient of a
     reconstruction loss through cwt -> icwt (exercises AD through the
     full compute path). Used by the driver with N virtual CPU devices."""
-    devices = jax.devices()
+    # Probe the CPU pool FIRST: when xla_force_host_platform_device_count
+    # provides n virtual devices (the driver's topology) this never
+    # initializes the default platform — important because a wedged
+    # device tunnel hangs backend init itself. A real multi-chip pod has
+    # a 1-device CPU pool and falls through to the default platform.
+    devices = jax.devices('cpu')
     if len(devices) < n_devices:
-        # default platform has too few chips (e.g. 1 real TPU via tunnel);
-        # fall back to the virtual CPU device pool
-        # (xla_force_host_platform_device_count)
-        devices = jax.devices('cpu')
+        devices = jax.devices()
     devices = devices[:n_devices]
     assert len(devices) == n_devices, (len(devices), n_devices)
     batch_axis = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
