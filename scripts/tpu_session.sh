@@ -7,8 +7,8 @@ set -u
 cd /root/repo
 
 echo "=== STAGE ablate  $(date -u +%H:%M:%S)"
-timeout 2400 python scripts/tpu_scatter_ablate.py full not2 not1 noroll \
-    fixed croll fold horner
+timeout 2400 python scripts/tpu_scatter_ablate.py full fold horner \
+    croll not2 not1 noroll fixed
 echo "=== STAGE fold-e2e  $(date -u +%H:%M:%S)"
 timeout 1200 python scripts/tpu_time.py
 timeout 1200 env SSQTPU_SCATTER_TIER2=fold python scripts/tpu_time.py
