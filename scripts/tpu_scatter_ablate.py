@@ -104,15 +104,17 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
 
             jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
         elif variant == 'horner':
-            # output-centric static sweep: bin b at plane row
-            # r0 + b - dlo accumulates v[b+(-d)]... via a Horner chain
-            # S = roll(S, 1) + vP*(dmP == d), d descending over the
-            # static window — 4 straight-line ops per displacement,
-            # no groups, no fori, no acc slices
+            # output-centric static sweep: bin b (plane row off0 + b)
+            # accumulates via a Horner chain acc = roll(acc, 1) +
+            # vP*(dmP == d), d descending over the static window — 4
+            # full-plane ops per displacement, no groups, no per-group
+            # min/max, no acc slice RMW. fori with ref-carried state
+            # (the unrolled chain blows up the compile).
             dlo, dhi = qstat
-            r0 = (8 - ((-dlo) % 8)) % 8
+            off0 = 0 if dlo >= 0 else -(-(-dlo) // 8) * 8
+            r0 = off0 + dlo
             H = -(-max(r0 + na_pad + (dhi - dlo) + 8,
-                       r0 + nbins_pad - dlo) // 8) * 8
+                       off0 + nbins_pad) // 8) * 8
             parts_v = [v2, jnp.zeros((H - r0 - na_pad, 2 * T), dt)]
             parts_d = [dm2, jnp.full((H - r0 - na_pad, 2 * T), _BIG,
                                      jnp.int32)]
@@ -121,12 +123,18 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                 parts_d.insert(0, jnp.full((r0, 2 * T), _BIG, jnp.int32))
             vP = jnp.concatenate(parts_v, axis=0)
             dmP = jnp.concatenate(parts_d, axis=0)
-            S = vP * (dmP == dhi).astype(dt)
-            for d in range(dhi - 1, dlo - 1, -1):
-                S = pltpu.roll(S, 1, 0) + vP * (dmP == d).astype(dt)
-            off0 = r0 - dlo
-            assert off0 % 8 == 0 and off0 + nbins_pad <= H
-            acc[pl.ds(base_off, nbins_pad)] = S[off0:off0 + nbins_pad]
+            acc[pl.ds(0, H)] = vP * (dmP == dhi).astype(dt)
+
+            def hbody(step, _):
+                d = dhi - 1 - step
+                acc[pl.ds(0, H)] = (pltpu.roll(acc[pl.ds(0, H)], 1, 0)
+                                    + vP * (dmP == d).astype(dt))
+                return 0
+
+            jax.lax.fori_loop(0, dhi - dlo, hbody, 0, unroll=False)
+            # move into the shared combine's slot
+            shifted = acc[pl.ds(off0, nbins_pad)]
+            acc[pl.ds(base_off, nbins_pad)] = shifted
         elif variant == 'static':
             # STATIC two-tier sweep: no dynamic fori, no per-group
             # ranges — 8 full-plane rolls x a trace-time q window from

@@ -61,13 +61,27 @@ _BAND = 24   # tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the
 
 
 def _static_plan(offs_np, na_pad, nbins_pad, mode):
-    """Trace-time plan for the 'static' tier-1 sweep (no dynamic control
+    """Trace-time plan for the static tier-1 sweeps (no dynamic control
     flow): in-band displacements lie in [offs.min()-_BAND,
-    offs.max()+_BAND], so a fixed q window (d = 8q + r) covers every
-    cell. Returns (qlo, qhi, base, acc_rows) or None ('group' mode)."""
+    offs.max()+_BAND]. 'static' sweeps a fixed q window (d = 8q + r):
+    returns (qlo, qhi, base, acc_rows). 'horner' runs the output-centric
+    Horner chain over the displacement window: returns
+    ('horner', dlo, dhi). None selects the dynamic 'group' mode."""
+    off = np.asarray(offs_np).reshape(-1)
+    if mode == 'horner':
+        dlo = int(off.min()) - _BAND
+        dhi = int(off.max()) + _BAND
+        if dhi - dlo > 4 * _BAND:
+            return None     # offsets too spread: the chain would dwarf
+                            # the group sweep — use 'group'
+        # bin b reads at plane row off0 + b (off0 sublane-aligned); the
+        # input embeds at row r0 = off0 + dlo >= 0
+        off0 = 0 if dlo >= 0 else _round_up(-dlo, 8)
+        H = _round_up(max(off0 + dlo + na_pad + (dhi - dlo) + 8,
+                          off0 + nbins_pad), 8)
+        return ('horner', dlo, dhi, off0, H)
     if mode != 'static':
         return None
-    off = np.asarray(offs_np).reshape(-1)
     qlo = int(np.floor((off.min() - _BAND) / 8))
     qhi = int(np.floor((off.max() + _BAND) / 8))
     base = _round_up(max(_GROUP + 24, -8 * qlo), 8)
@@ -112,8 +126,11 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     dt = vre.dtype
     G = _GROUP
     ngroups = na_pad // G
-    acc[:] = jnp.zeros(acc.shape, dt)
-    base_off = G + 24 if static_plan is None else static_plan[2]
+    horner = static_plan is not None and static_plan[0] == 'horner'
+    if not horner:
+        acc[:] = jnp.zeros(acc.shape, dt)
+    base_off = (G + 24 if static_plan is None else
+                static_plan[3] if horner else static_plan[2])
 
     act = dm != _BIG
     dev = dm - offs
@@ -128,7 +145,36 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
 
-    if static_plan is not None:
+    if horner:
+        # HORNER tier 1 (output-centric): bin b collects its in-band
+        # contributions via a Horner chain acc = roll(acc, 1) + vP*(dmP
+        # == d) over the static displacement window, d descending — 4
+        # full-plane ops per displacement, no groups, no per-group
+        # min/max, no accumulator slice read-modify-writes. The chain
+        # state IS the acc scratch (ref-carried fori: a 49-step
+        # unrolled chain blows up the compile). Bin b lands at plane
+        # row off0 + b; the input embeds at row r0 = off0 + dlo.
+        dlo, dhi, off0, H = static_plan[1:]
+        r0 = off0 + dlo
+        parts_v = [v2, jnp.zeros((H - r0 - na_pad, 2 * T), dt)]
+        parts_d = [dm2, jnp.full((H - r0 - na_pad, 2 * T), _BIG,
+                                 jnp.int32)]
+        if r0:
+            parts_v.insert(0, jnp.zeros((r0, 2 * T), dt))
+            parts_d.insert(0, jnp.full((r0, 2 * T), _BIG, jnp.int32))
+        vP = jnp.concatenate(parts_v, axis=0)
+        dmP = jnp.concatenate(parts_d, axis=0)
+        acc[:] = vP * (dmP == dhi).astype(dt)
+
+        def hbody(step, _):
+            d = dhi - 1 - step
+            acc[:] = (pltpu.roll(acc[:], 1, 0)
+                      + vP * (dmP == d).astype(dt))
+            return 0
+
+        jax.lax.fori_loop(0, dhi - dlo, hbody, 0, unroll=False)
+        ngroups = 0                        # skip the group loop below
+    elif static_plan is not None:
         # STATIC tier 1: full-plane rolls x a trace-time q window — the
         # whole sweep is straight-line vector code (no per-group min/max
         # reductions, no fori launches; Mosaic pipelines it freely).
@@ -284,6 +330,8 @@ def _acc_shape(na_pad, nbins_pad, T, static_plan=None):
     # writes full-plane slices over its whole q window, so its
     # accumulator is sized by the plan.
     if static_plan is not None:
+        if static_plan[0] == 'horner':
+            return (static_plan[4], 2 * T)   # the chain state plane
         return (static_plan[3], 2 * T)
     return (nbins_pad + 2 * _GROUP + 48, 2 * T)
 
