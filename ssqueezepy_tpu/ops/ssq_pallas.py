@@ -55,9 +55,13 @@ _BIG = 2 ** 20
 
 _GROUP = 32  # scatter row-group size (multiple of 8)
 
-_BAND = 24   # tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the
-             # shift passes; the rare tail (0.3-1% of noise cells) is
-             # extracted per column and placed by dense one-row sweeps
+# tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the shift
+# passes; the rare tail (0.3-1% of noise cells at 24) is extracted per
+# column and placed by dense one-row sweeps. Env-overridable for
+# hardware band sweeps (smaller bands shift work from the tier-1 sweep
+# to tier-2 — profitable once tier-2 runs in 'fold' mode).
+import os as _os
+_BAND = int(_os.environ.get('SSQTPU_SCATTER_BAND', '24'))
 
 
 def _static_plan(offs_np, na_pad, nbins_pad, mode):
