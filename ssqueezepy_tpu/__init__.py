@@ -78,7 +78,11 @@ from .models.ridge_extraction import extract_ridges
 from .models.test_signals import TestSignals
 
 from .utils.common import (WARN, NOTE, EPS32, EPS64, pi, p2up, mad,
-                           est_riskshrink_thresh)
+                           est_riskshrink_thresh, assert_is_one_of)
+from .utils.backend import S, Q, asnumpy
+from .configs import gdefaults
+from .visuals import imshow, plot
+from .models.test_signals import DEFAULT_N
 from .utils.cwt_utils import (process_scales, cwt_scalebounds, make_scales,
                               adm_ssq, adm_cwt, infer_scaletype,
                               logscale_transition_idx)

@@ -137,3 +137,24 @@ def test_freq_to_scale_roundtrip_close():
     # both converters are discrete grid searches; agreement is bounded
     # by the search resolution
     assert (np.abs(back - freqs) / freqs).max() < 0.15, (back, freqs)
+
+
+# ---------------------------------------------------------------------------
+# namespace/migration surface
+# ---------------------------------------------------------------------------
+def test_utils_namespace_covers_reference():
+    """Names a reference user reaches through `ssqueezepy.utils` resolve
+    in `ssqueezepy_tpu.utils` too (module-level incidental imports like
+    np/torch/plt excluded)."""
+    wanted = ['WARN', 'NOTE', 'EPS32', 'EPS64', 'p2up', 'mad',
+              'est_riskshrink_thresh', 'assert_is_one_of',
+              'process_scales', 'cwt_scalebounds', 'make_scales',
+              'find_downsampling_scale', 'adm_cwt', 'adm_ssq',
+              'S', 'Q', 'asnumpy', 'padsignal', 'trigdiff', 'buffer',
+              'unbuffer', 'window_norm']
+    missing = [n for n in wanted if not hasattr(stq.utils, n)]
+    assert not missing, missing
+    top = ['S', 'Q', 'asnumpy', 'gdefaults', 'imshow', 'plot',
+           'assert_is_one_of']
+    missing = [n for n in top if not hasattr(stq, n)]
+    assert not missing, missing
