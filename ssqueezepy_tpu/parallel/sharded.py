@@ -400,4 +400,13 @@ def dryrun_multichip(n_devices):
     Ts2, Ss2 = s2(x)
     jax.block_until_ready(Ts2.re)
     assert np.isfinite(np.asarray(Ts2.re)).all()
+
+    # sharded inverses: scale-axis psum round trips on the forward's
+    # distributed outputs (parallel/inverse.py)
+    from .inverse import sharded_icwt, sharded_issq_cwt
+    xr = sharded_icwt(Wx, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
+                      x_len=N, mesh=mesh)
+    assert xr.shape == (B, N) and np.isfinite(xr).all()
+    xr2 = sharded_issq_cwt(Tx, ('gmw', {'dtype': 'float32'}), mesh=mesh)
+    assert xr2.shape == (B, N) and np.isfinite(xr2).all()
     return True
