@@ -73,3 +73,36 @@ def test_full_sharded_exact_rows_replicated():
                              scales='log', nv=8, astensor=False)
     cs = np.abs(Tx.real.sum(-2) - Tx_ref.real.sum(-2)).max()
     assert cs < 1e-5, cs
+
+
+def test_full_sharded_routes_through_bins_pipeline():
+    """Force the Pallas dispatch (interpret mode) inside the 3-axis
+    shard_map: the per-shard BINS fast pipeline (fused CWT kernel emits
+    k, dWx never leaves VMEM, scatter_kv consumes k) must engage on the
+    batch x scale x time mesh and reproduce the XLA-routed result
+    (VERDICT r2 weak #5; same criterion as test_sharded.py's 2-axis
+    route test)."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    N = 2048                      # n_up 4096 = 64 x 64: kernel-able
+    xb = _signal(N, B=2)
+    mesh = make_mesh3(batch=1, scale=4, time=2)
+    kw = dict(nv=8, mesh=mesh)
+    try:
+        p_x = FullShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                                **kw)
+        assert not p_x.uses_bins_pipeline
+        Tx_x = p_x(xb).to_numpy()
+        configure(pallas_interpret=True)
+        p_p = FullShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log',
+                                **kw)
+        assert p_p.uses_bins_pipeline
+        Tx_p = p_p(xb).to_numpy()
+    finally:
+        reset_config()
+    # column sums (inversion integrals) invariant to the +-1-bin flips
+    # the low-precision derivative pipeline may introduce; total energy
+    # preserved (criterion of test_sharded._bins_route_criterion)
+    m = max(np.abs(Tx_x).max(), 1e-9)
+    assert np.abs(Tx_p.sum(-2) - Tx_x.sum(-2)).max() < 1e-4 * m
+    e_p, e_x = np.abs(Tx_p).sum(), np.abs(Tx_x).sum()
+    assert abs(e_p - e_x) / e_x < 5e-3
