@@ -53,9 +53,10 @@ class Config:
     # when dWx is not returned.
     ssq_lowprec_deriv: bool = True
     # tier-1 sweep strategy in the shift-scatter kernels: 'group'
-    # (per-32-row groups with dynamic per-group q ranges) or 'static'
+    # (per-32-row groups with dynamic per-group q ranges), 'static'
     # (full-plane rolls over a trace-time q window — zero dynamic
-    # control flow; candidate redesign, scripts/tpu_scatter_ablate.py)
+    # control flow) or 'horner' (output-centric Horner roll chain over
+    # the displacement window; scripts/tpu_scatter_ablate.py)
     scatter_mode: str = 'group'
     # tier-2 (out-of-band outlier) strategy in the shift-scatter
     # kernels: 'loop' (extract 2 per column per iteration from the full
