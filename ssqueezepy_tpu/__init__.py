@@ -109,4 +109,11 @@ def wavs():
 # submodules at the top level; migrating code does e.g.
 # `ssqueezepy.wavelets.Wavelet`, `ssqueezepy.ridge_extraction.extract_ridges`)
 from .models import wavelets, ssqueezing, ridge_extraction
+from . import algos
+from .algos import (phase_cwt_cpu, phase_cwt_gpu, phase_stft_cpu,
+                    phase_stft_gpu)
 from .configs import IS_PARALLEL, USE_GPU
+from .visuals import plots, scat, plotscat, hist
+from .models.test_signals import (DEFAULT_ARGS, DEFAULT_TKW,
+                                  DEFAULT_SNR, DEFAULT_SEED)
+from .utils.backend import is_tensor

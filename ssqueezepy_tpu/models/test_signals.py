@@ -30,6 +30,10 @@ DEFAULT_ARGS = {
     'sine:am-cosine': (dict(f=16), dict(amin=.5)),
 }
 DEFAULT_TKW = dict(tmin=0, tmax=1, endpoint=True)
+# module-level noise knobs (reference _test_signals.py:60-61): set e.g.
+# `test_signals.DEFAULT_SNR = 10` to make every TestSignals noisy
+DEFAULT_SNR = None
+DEFAULT_SEED = None
 
 
 def _t(tmin, tmax, N, endpoint=False):
@@ -54,11 +58,11 @@ class TestSignals():
     def __init__(self, N=None, snr=None, default_args=None, default_tkw=None,
                  warn_alias=True, seed=None):
         self.N = N or DEFAULT_N
-        self.snr = snr
+        self.snr = snr if snr is not None else DEFAULT_SNR
         self.default_args = dict(default_args or {})
         self.default_tkw = dict(default_tkw or {})
         self.warn_alias = warn_alias
-        self.seed = seed
+        self.seed = seed if seed is not None else DEFAULT_SEED
         for k, v in DEFAULT_ARGS.items():
             self.default_args.setdefault(k, v)
         for k, v in DEFAULT_TKW.items():
