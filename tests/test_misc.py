@@ -228,3 +228,27 @@ def test_extract_ridges_batched_matches_loop():
     for b in range(B):
         r1 = extract_ridges(Tf[b], scales, penalty=2., n_ridges=2, bw=4)
         assert np.array_equal(rb[b], r1), b
+
+
+def test_migration_shims():
+    """Reference-namespace migration surface: `algos` module, *_cpu/_gpu
+    phase aliases, top-level plot helpers, TestSignals module knobs
+    (reference __init__.py star-exports; _test_signals.py:60-61)."""
+    assert stq.algos.phase_cwt_cpu is stq.algos.phase_cwt
+    assert stq.algos.phase_cwt_gpu is stq.algos.phase_cwt
+    assert stq.phase_stft_cpu is stq.phase_stft
+    for name in ('ssqueeze_fast', 'indexed_sum_onfly', 'indexed_sum',
+                 'find_closest', 'replace_under_abs', 'zero_denormals',
+                 'find_maximum', 'find_first_occurrence', 'nCk'):
+        assert callable(getattr(stq.algos, name)), name
+    for name in ('plots', 'scat', 'plotscat', 'hist'):
+        assert callable(getattr(stq, name)), name
+    assert stq.DEFAULT_SNR is None and stq.DEFAULT_SEED is None
+    from ssqueezepy_tpu.models import test_signals as tsmod
+    old = tsmod.DEFAULT_SNR
+    try:
+        tsmod.DEFAULT_SNR = 15
+        assert stq.TestSignals(N=128).snr == 15
+    finally:
+        tsmod.DEFAULT_SNR = old
+    assert not stq.is_tensor(np.zeros(2))
