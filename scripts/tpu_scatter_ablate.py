@@ -69,6 +69,13 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
         ngroups = na_pad // G
         acc[:] = jnp.zeros(acc.shape, dt)
         base_off = G + 24
+        if variant == 'zeroed':
+            # floor: grid launch + BlockSpec copies + zeroing + write
+            oaccr[:] = jnp.zeros((nbins_pad, T), dt)
+            oacci[:] = jnp.zeros((nbins_pad, T), dt)
+            outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]
+            outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
+            return
 
         act = dm != _BIG
         dev = dm - offs
@@ -76,8 +83,14 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
         dm_in = jnp.where(inband, dm, _BIG)
         om = act & ~inband
 
-        validf = inband.astype(dt)
-        v2 = jnp.concatenate([vre * validf, vim * validf], axis=1)
+        if variant == 'slim':
+            # out-of-band/invalid cells carry _BIG in dm_in, so the
+            # per-pass equality mask already gates them — the validf
+            # pre-multiply is redundant work
+            v2 = jnp.concatenate([vre, vim], axis=1)
+        else:
+            validf = inband.astype(dt)
+            v2 = jnp.concatenate([vre * validf, vim * validf], axis=1)
         dm2 = jnp.concatenate([dm_in, dm_in], axis=1)
 
         if variant == 'global':
@@ -153,7 +166,7 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                     m = (dmr == 8 * q + r).astype(dt)
                     acc[pl.ds(off, na_pad + 8)] = \
                         acc[pl.ds(off, na_pad + 8)] + vr * m
-        elif variant != 'fixed':
+        elif variant not in ('fixed', 'noedge', 'nowrapm'):
             zeros8 = jnp.zeros((8, 2 * T), dt)
             big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
             for g in range(ngroups):
@@ -200,8 +213,9 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                     jax.lax.fori_loop(qlo, qhi + 1, qbody, 0,
                                       unroll=False)
 
-        oaccr[:] = jnp.zeros((nbins_pad, T), dt)
-        oacci[:] = jnp.zeros((nbins_pad, T), dt)
+        if variant != 'slim':
+            oaccr[:] = jnp.zeros((nbins_pad, T), dt)
+            oacci[:] = jnp.zeros((nbins_pad, T), dt)
         if variant == 'fold':
             # ---- folded tier 2: compact the sparse outliers 8x, extract
             # from the (F, T) plane; chunk-collision columns fall through
@@ -255,7 +269,7 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                               single.astype(jnp.int32), unroll=False)
             coll = cnt >= 2
             om = om & jnp.concatenate([coll] * 8, axis=0)
-        if variant not in ('not2', 'fixed'):
+        if variant not in ('not2', 'fixed', 'noedge', 'nowrapm'):
             rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
             babs = dm + rows
             biota = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, T), 0)
@@ -281,25 +295,55 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
                 m_lo = ((biota == b_lo) & (rlo < _BIG)).astype(dt)
                 m_hi = ((biota == b_hi) & (rhi > -_BIG) &
                         (rhi != rlo)).astype(dt)
-                oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
-                oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
+                if variant == 'slim':
+                    # scatter outliers straight into the acc plane: no
+                    # oacc buffers, no oacc zeroing, no final add
+                    upd = jnp.concatenate(
+                        [m_lo * vr_lo + m_hi * vr_hi,
+                         m_lo * vi_lo + m_hi * vi_hi], axis=1)
+                    acc[pl.ds(base_off, nbins_pad)] = \
+                        acc[pl.ds(base_off, nbins_pad)] + upd
+                else:
+                    oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
+                    oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
                 return om_i * (1 - (sel_lo | sel_hi).astype(jnp.int32))
 
             jax.lax.fori_loop(0, (max_cnt + 1) // 2, obody,
                               om.astype(jnp.int32), unroll=False)
 
-        outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]
-        outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
+        if variant == 'slim':
+            outr[:] = acc[pl.ds(base_off, nbins_pad), :T]
+            outi[:] = acc[pl.ds(base_off, nbins_pad), T:]
+        else:
+            outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]
+            outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
 
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = wxr.dtype
+        if variant in ('zeroed', 'nowrapm'):
+            rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
+            core(wxr[:], wxi[:], k_r[:] - rows, offs_r[:], acc,
+                 oaccr, oacci, outr, outi)
+            return
         k = k_r[:]
         valid = (k >= 0) & (k <= omax)
         validf = valid.astype(dt)
         cst = const_r[:]
-        vre = wxr[:] * cst * validf
-        vim = wxi[:] * cst * validf
+        if variant == 'noedge':
+            rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
+            vre = wxr[:] * cst * validf
+            vim = wxi[:] * cst * validf
+            dm = jnp.where(valid, k - rows, _BIG)
+            core(vre, vim, dm, offs_r[:], acc, oaccr, oacci, outr, outi)
+            return
+        if variant == 'slim':
+            mask = cst * validf          # one shared mask plane
+            vre = wxr[:] * mask
+            vim = wxi[:] * mask
+        else:
+            vre = wxr[:] * cst * validf
+            vim = wxi[:] * cst * validf
         m_lo = valid & (k == 0)
         m_hi = valid & (k == omax)
         lo_re = jnp.sum(vre * m_lo.astype(dt), axis=0)
@@ -455,7 +499,7 @@ def main():
                                 'full', T)[0][:, ::371]))
         elif ref is not None and v.split(':')[0] in ('global', 'static',
                                                      'fold', 'croll',
-                                                     'horner'):
+                                                     'horner', 'slim'):
             got = np.asarray(jax.device_get(
                 scatter_variant(Wx.re, Wx.im, k, const_j, nbins, nat_key,
                                 v, T)[0][:, ::371]))
