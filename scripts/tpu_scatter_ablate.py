@@ -321,6 +321,13 @@ def make_kernel(na_pad, nbins_pad, T, nbins, variant, G=32, BAND=24,
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = wxr.dtype
+        if variant == 'copyonly':
+            # pure DMA floor: read the 3 input blocks, write the 2
+            # output blocks, touch no scratch
+            outr[:] = wxr[pl.ds(0, nbins_pad)] \
+                + k_r[pl.ds(0, nbins_pad)].astype(dt)
+            outi[:] = wxi[pl.ds(0, nbins_pad)]
+            return
         if variant in ('zeroed', 'nowrapm'):
             rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
             core(wxr[:], wxi[:], k_r[:] - rows, offs_r[:], acc,
