@@ -98,15 +98,9 @@ def main():
     t = bench(jax.jit(f_kv), Wx.re, Wx.im, k, const_j)
     print('scatter_kv[group] : %.4f s' % t, flush=True)
 
-    # A/B the integrated 'static' tier-1 sweep (zero dynamic control
-    # flow) against the default per-group dynamic ranges
-    from ssqueezepy_tpu.configs import configure, reset_config
-    try:
-        configure(scatter_mode='static')
-        t = bench(jax.jit(f_kv), Wx.re, Wx.im, k, const_j)
-        print('scatter_kv[static]: %.4f s' % t, flush=True)
-    finally:
-        reset_config()
+    # ('static' tier-1 A/B removed in round 4 — the mode lost end-to-end
+    # and was pruned from the product; scripts/tpu_scatter_ablate.py
+    # keeps a self-contained copy of all measured variants.)
 
     # column-sum sanity vs XLA reference
     from ssqueezepy_tpu.ops.ssq_kernels import _scatter_xla

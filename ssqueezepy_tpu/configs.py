@@ -52,18 +52,6 @@ class Config:
     # placement tolerance. Set False to force full-precision bins even
     # when dWx is not returned.
     ssq_lowprec_deriv: bool = True
-    # tier-1 sweep strategy in the shift-scatter kernels: 'group'
-    # (per-32-row groups with dynamic per-group q ranges), 'static'
-    # (full-plane rolls over a trace-time q window — zero dynamic
-    # control flow) or 'horner' (output-centric Horner roll chain over
-    # the displacement window; scripts/tpu_scatter_ablate.py)
-    scatter_mode: str = 'group'
-    # tier-2 (out-of-band outlier) strategy in the shift-scatter
-    # kernels: 'loop' (extract 2 per column per iteration from the full
-    # plane) or 'fold' (compact the sparse outliers 8x by residue-class
-    # sums and extract from the folded plane; chunk-collision columns
-    # fall back to the exact full-plane loop)
-    scatter_tier2: str = 'loop'
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -86,12 +74,6 @@ def _from_env(cfg):
     lp = os.environ.get('SSQTPU_LOWPREC_DERIV')
     if lp is not None and lp != '':
         cfg.ssq_lowprec_deriv = lp not in ('0', 'false', 'False')
-    sm = os.environ.get('SSQTPU_SCATTER_MODE')
-    if sm:
-        cfg.scatter_mode = sm
-    t2 = os.environ.get('SSQTPU_SCATTER_TIER2')
-    if t2:
-        cfg.scatter_tier2 = t2
     return cfg
 
 

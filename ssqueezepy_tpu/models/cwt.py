@@ -278,14 +278,22 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
         average=None, nan_checks=None, patience=0):
     """Continuous Wavelet Transform via frequency-domain convolution.
 
-    API-parity with reference `cwt` (_cwt.py:12-166); `vectorized`,
-    `cache_wavelet`, `patience`, `nan_checks` are accepted for
-    compatibility (execution is always vectorized & jit-cached; NaN/Inf
-    scrubbing is always fused into the graph — it's free on TPU).
+    API-parity with reference `cwt` (_cwt.py:12-166); `cache_wavelet`,
+    `patience`, `nan_checks` are accepted for compatibility (execution is
+    always jit-cached; NaN/Inf scrubbing is always fused into the graph —
+    it's free on TPU).
+
+    `vectorized=False` is the memory-constrained path (reference
+    _cwt.py:179-199 loops scales one at a time): scales run in chunks of
+    64 rows through one shared jit, bounding the live FFT intermediates
+    to chunk size — use when the full (na, n_up) synthesis plane exceeds
+    HBM. Identical results (asserted in tests/test_misc.py).
 
     Returns (Wx, scales[, dWx]); `astensor=True` returns split-complex
     `Complex` device arrays, else numpy complex.
     """
+    from ..ops.fft import _note_patience
+    _note_patience(patience)
     if isinstance(order, (tuple, list, range)) or order > 0:
         kw = dict(wavelet=wavelet, scales=scales, fs=fs, t=t, nv=nv,
                   l1_norm=l1_norm, derivative=derivative, padtype=padtype,
@@ -321,6 +329,10 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
 
     from ..ops.cwt_pallas import support_klims
     klims = support_klims(wavelet, scales_np, n_up)
+    if not vectorized:
+        return _cwt_chunked(xj, xnp.shape, wavelet, scales_np, dt, dtype,
+                            n_up, n1, N, derivative, l1_norm, rpadded,
+                            is_2d, padtype, astensor)
     runner = _cwt_jit(_wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N,
                       bool(derivative), bool(l1_norm), bool(rpadded), is_2d,
                       (wavelet,), padtype, klims)
@@ -340,6 +352,48 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
             _SCALES_DEV_CACHE[skey] = scales_j
     Wx, dWx = runner(xj, scales_j, _device_scalar(dt, dtype))
 
+    scales_out = scales_np.squeeze()
+    if not astensor:
+        Wx = Wx.to_numpy()
+        dWx = dWx.to_numpy() if dWx is not None else None
+    return ((Wx, scales_out, dWx) if derivative else (Wx, scales_out))
+
+
+_CWT_CHUNK = 64
+
+
+def _cwt_chunked(xj, shape, wavelet, scales_np, dt, dtype, n_up, n1, N,
+                 derivative, l1_norm, rpadded, is_2d, padtype, astensor):
+    """Memory-constrained CWT: scales run in `_CWT_CHUNK`-row chunks
+    through ONE shared jit (all chunks padded to equal size -> one
+    compile), so live FFT intermediates are chunk-sized instead of
+    (na, n_up). The `vectorized=False` contract (reference
+    _cwt.py:179-199 loops single scales; a chunk keeps the MXU fed)."""
+    na = len(scales_np)
+    CH = min(_CWT_CHUNK, na)
+    runner = _cwt_jit(_wavelet_key(wavelet), shape, dtype, n_up, n1, N,
+                      bool(derivative), bool(l1_norm), bool(rpadded),
+                      is_2d, (wavelet,), padtype, None)
+    dt_j = _device_scalar(dt, dtype)
+    pieces = []
+    for c0 in range(0, na, CH):
+        chunk = scales_np[c0:c0 + CH]
+        if len(chunk) < CH:                    # pad -> same jit signature
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], CH - len(chunk), 0)])
+        Wc, dWc = runner(xj, jnp.asarray(chunk, dtype=dtype), dt_j)
+        keep = min(CH, na - c0)
+        ax = -2
+        take = lambda z: jnp.take(z, jnp.arange(keep), axis=ax)
+        pieces.append((Complex(take(Wc.re), take(Wc.im)),
+                       Complex(take(dWc.re), take(dWc.im))
+                       if dWc is not None else None))
+    Wx = Complex(jnp.concatenate([p[0].re for p in pieces], axis=-2),
+                 jnp.concatenate([p[0].im for p in pieces], axis=-2))
+    dWx = None
+    if derivative:
+        dWx = Complex(jnp.concatenate([p[1].re for p in pieces], axis=-2),
+                      jnp.concatenate([p[1].im for p in pieces], axis=-2))
     scales_out = scales_np.squeeze()
     if not astensor:
         Wx = Wx.to_numpy()
@@ -438,6 +492,9 @@ def _icwt_2int(Wx, scales, scaletype, l1_norm, wavelet, x_len,
     pn = (-1) ** np.arange(n_up)
     x = np.zeros(n_up)
 
+    # scales may arrive (na, 1); per-row elements must be 0-d for the
+    # float conversions below (ndim>0 -> scalar is an error on numpy>=2)
+    scales = np.asarray(scales).reshape(-1)
     for scale, Wx_scale in zip(scales, Wx):
         psih = wavelet.filterbank_np(np.atleast_1d(np.float64(scale)),
                                      N=n_up, nohalf=True)[0] * pn

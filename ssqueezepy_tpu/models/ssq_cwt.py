@@ -243,6 +243,8 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     (Tx, Wx, ssq_freqs, scales[, w][, dWx]). With `astensor=True` complex
     outputs are split-complex `Complex` device arrays; else numpy complex.
     """
+    from ..ops.fft import _note_patience
+    _note_patience(patience)
     xnp = np.asarray(x) if isinstance(x, (list, np.ndarray)) else x
     if xnp.ndim == 2 and get_w:
         raise NotImplementedError("`get_w=True` unsupported with batched "

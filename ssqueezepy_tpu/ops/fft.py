@@ -526,13 +526,34 @@ def ifftshift(x, axes=None):
     return jnp.roll(x, [-(x.shape[a] // 2) for a in axes], axes)
 
 
+_PATIENCE_NOTED = False
+
+
+def _note_patience(patience):
+    """One-time NOTE when a caller sets a non-zero FFTW planning tier
+    (reference fft_utils.py:249-295): the knob is honored by the XLA
+    compile cache + plan_cache analog automatically, so the request is a
+    no-op here — say so instead of silently discarding it."""
+    global _PATIENCE_NOTED
+    if patience and not _PATIENCE_NOTED:
+        from ..utils.common import NOTE
+        NOTE("`patience=%r` requested: FFTW planning tiers do not exist "
+             "on this backend — XLA kernels are auto-tuned at compile "
+             "time and cached (utils/plan_cache.py); the argument is "
+             "accepted for API compatibility and has no effect."
+             % (patience,))
+        _PATIENCE_NOTED = True
+
+
 class FFT:
     """Object-style FFT handle mirroring the reference's `FFT` class
     (fft_utils.py:40). Plans are implicit (lru-cached tables + XLA compile
-    cache); `patience` is accepted for API compatibility and ignored.
+    cache); `patience` is accepted for API compatibility (a one-time NOTE
+    fires on non-zero use — see `_note_patience`).
     """
 
     def __init__(self, patience=0):
+        _note_patience(patience)
         self.patience = patience
         self.planning_timelimit = None
 

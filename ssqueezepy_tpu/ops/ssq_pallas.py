@@ -58,44 +58,16 @@ _GROUP = 32  # scatter row-group size (multiple of 8)
 # tier-1 half-band: |k - natural_bin(row)| <= _BAND rides the shift
 # passes; the rare tail (0.3-1% of noise cells at 24) is extracted per
 # column and placed by dense one-row sweeps. Env-overridable for
-# hardware band sweeps (smaller bands shift work from the tier-1 sweep
-# to tier-2 — profitable once tier-2 runs in 'fold' mode).
+# hardware band sweeps. (Round-3 measured alternatives — 'static'
+# full-plane sweeps, output-centric 'horner' chains, folded tier-2 —
+# all LOST end-to-end vs this dynamic two-tier design; see
+# scripts/session3b.out and PROFILE.md. They were removed in round 4.)
 import os as _os
 _BAND = int(_os.environ.get('SSQTPU_SCATTER_BAND', '24'))
 
 
-def _static_plan(offs_np, na_pad, nbins_pad, mode):
-    """Trace-time plan for the static tier-1 sweeps (no dynamic control
-    flow): in-band displacements lie in [offs.min()-_BAND,
-    offs.max()+_BAND]. 'static' sweeps a fixed q window (d = 8q + r):
-    returns (qlo, qhi, base, acc_rows). 'horner' runs the output-centric
-    Horner chain over the displacement window: returns
-    ('horner', dlo, dhi). None selects the dynamic 'group' mode."""
-    off = np.asarray(offs_np).reshape(-1)
-    if mode == 'horner':
-        dlo = int(off.min()) - _BAND
-        dhi = int(off.max()) + _BAND
-        if dhi - dlo > 4 * _BAND:
-            return None     # offsets too spread: the chain would dwarf
-                            # the group sweep — use 'group'
-        # bin b reads at plane row off0 + b (off0 sublane-aligned); the
-        # input embeds at row r0 = off0 + dlo >= 0
-        off0 = 0 if dlo >= 0 else _round_up(-dlo, 8)
-        H = _round_up(max(off0 + dlo + na_pad + (dhi - dlo) + 8,
-                          off0 + nbins_pad), 8)
-        return ('horner', dlo, dhi, off0, H)
-    if mode != 'static':
-        return None
-    qlo = int(np.floor((off.min() - _BAND) / 8))
-    qhi = int(np.floor((off.max() + _BAND) / 8))
-    base = _round_up(max(_GROUP + 24, -8 * qlo), 8)
-    acc_rows = max(base + 8 * qhi + na_pad + 8, base + nbins_pad)
-    return (qlo, qhi, base, int(acc_rows))
-
-
 def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
-                        oaccr, oacci, outr, outi, static_plan=None,
-                        tier2='loop'):
+                        oaccr, oacci, outr, outi):
     """Shared two-tier scatter core: out[row + d] += v with d = dm (the
     caller masks invalid cells to _BIG and guarantees row + d in
     [0, nbins) for the rest).
@@ -130,11 +102,8 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     dt = vre.dtype
     G = _GROUP
     ngroups = na_pad // G
-    horner = static_plan is not None and static_plan[0] == 'horner'
-    if not horner:
-        acc[:] = jnp.zeros(acc.shape, dt)
-    base_off = (G + 24 if static_plan is None else
-                static_plan[3] if horner else static_plan[2])
+    acc[:] = jnp.zeros(acc.shape, dt)
+    base_off = G + 24
 
     act = dm != _BIG
     dev = dm - offs
@@ -148,56 +117,6 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
 
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
-
-    if horner:
-        # HORNER tier 1 (output-centric): bin b collects its in-band
-        # contributions via a Horner chain acc = roll(acc, 1) + vP*(dmP
-        # == d) over the static displacement window, d descending — 4
-        # full-plane ops per displacement, no groups, no per-group
-        # min/max, no accumulator slice read-modify-writes. The chain
-        # state IS the acc scratch (ref-carried fori: a 49-step
-        # unrolled chain blows up the compile). Bin b lands at plane
-        # row off0 + b; the input embeds at row r0 = off0 + dlo.
-        dlo, dhi, off0, H = static_plan[1:]
-        r0 = off0 + dlo
-        parts_v = [v2, jnp.zeros((H - r0 - na_pad, 2 * T), dt)]
-        parts_d = [dm2, jnp.full((H - r0 - na_pad, 2 * T), _BIG,
-                                 jnp.int32)]
-        if r0:
-            parts_v.insert(0, jnp.zeros((r0, 2 * T), dt))
-            parts_d.insert(0, jnp.full((r0, 2 * T), _BIG, jnp.int32))
-        vP = jnp.concatenate(parts_v, axis=0)
-        dmP = jnp.concatenate(parts_d, axis=0)
-        acc[:] = vP * (dmP == dhi).astype(dt)
-
-        def hbody(step, _):
-            d = dhi - 1 - step
-            acc[:] = (pltpu.roll(acc[:], 1, 0)
-                      + vP * (dmP == d).astype(dt))
-            return 0
-
-        jax.lax.fori_loop(0, dhi - dlo, hbody, 0, unroll=False)
-        ngroups = 0                        # skip the group loop below
-    elif static_plan is not None:
-        # STATIC tier 1: full-plane rolls x a trace-time q window — the
-        # whole sweep is straight-line vector code (no per-group min/max
-        # reductions, no fori launches; Mosaic pipelines it freely).
-        # Every slice offset is a static multiple of 8.
-        qlo_s, qhi_s = static_plan[0], static_plan[1]
-        vg = jnp.concatenate([v2, zeros8], axis=0)
-        dmg = jnp.concatenate([dm2, big8], axis=0)
-        vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
-        dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
-        # q outer / residues inner: ONE accumulator read-modify-write
-        # per q pass (8x less acc traffic than per-(r,q) writes)
-        for q in range(qlo_s, qhi_s + 1):
-            off = base_off + 8 * q
-            upd = acc[pl.ds(off, na_pad + 8)]
-            for r in range(8):
-                m = (dmrs[r] == 8 * q + r).astype(dt)
-                upd = upd + vrs[r] * m
-            acc[pl.ds(off, na_pad + 8)] = upd
-        ngroups = 0                        # skip the group loop below
 
     for g in range(ngroups):
         vg = jnp.concatenate([v2[g * G:(g + 1) * G], zeros8], axis=0)
@@ -238,60 +157,6 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     babs = dm + rows                       # absolute target bin
     biota = jax.lax.broadcasted_iota(jnp.int32, (nbins_pad, T), 0)
 
-    if tier2 == 'fold':
-        # Compact the sparse outliers 8x first: fold the planes into
-        # (na_pad/8, T) residue-class sums (3 halving adds each). A fold
-        # row is usable when its column's chunk holds EXACTLY ONE
-        # outlier (the overwhelming case at the measured 0.35% density),
-        # so the extraction loop below runs on the small folded plane;
-        # chunk-collision columns (cnt >= 2) stay in `om` and take the
-        # exact full-plane loop after (usually 0 iterations).
-        F = na_pad // 8
-        omf = om.astype(dt)
-
-        def fold8(x):
-            h = x.shape[0]
-            while h > F:
-                h //= 2
-                x = x[:h] + x[h:]
-            return x
-
-        cnt = fold8(om.astype(jnp.int32))
-        vfr = fold8(vre * omf)
-        vfi = fold8(vim * omf)
-        bf = fold8(jnp.where(om, babs, 0))
-        single = cnt == 1
-        frows = jax.lax.broadcasted_iota(jnp.int32, (F, T), 0)
-        fmax = jnp.max(jnp.sum(single.astype(jnp.int32), axis=0))
-
-        def fbody(it, al_i):
-            alive = al_i != 0
-            rlo = jnp.min(jnp.where(alive, frows, _BIG), axis=0,
-                          keepdims=True)
-            rhi = jnp.max(jnp.where(alive, frows, -_BIG), axis=0,
-                          keepdims=True)
-            sel_lo = (frows == rlo) & alive
-            sel_hi = (frows == rhi) & alive & (rhi != rlo)
-            flo, fhi = sel_lo.astype(dt), sel_hi.astype(dt)
-            b_lo = jnp.sum(jnp.where(sel_lo, bf, 0), axis=0,
-                           keepdims=True)
-            b_hi = jnp.sum(jnp.where(sel_hi, bf, 0), axis=0,
-                           keepdims=True)
-            vr_lo = jnp.sum(vfr * flo, axis=0, keepdims=True)
-            vi_lo = jnp.sum(vfi * flo, axis=0, keepdims=True)
-            vr_hi = jnp.sum(vfr * fhi, axis=0, keepdims=True)
-            vi_hi = jnp.sum(vfi * fhi, axis=0, keepdims=True)
-            m_lo = ((biota == b_lo) & (rlo < _BIG)).astype(dt)
-            m_hi = ((biota == b_hi) & (rhi > -_BIG) &
-                    (rhi != rlo)).astype(dt)
-            oaccr[:] = oaccr[:] + m_lo * vr_lo + m_hi * vr_hi
-            oacci[:] = oacci[:] + m_lo * vi_lo + m_hi * vi_hi
-            return al_i * (1 - (sel_lo | sel_hi).astype(jnp.int32))
-
-        jax.lax.fori_loop(0, (fmax + 1) // 2, fbody,
-                          single.astype(jnp.int32), unroll=False)
-        om = om & jnp.concatenate([cnt >= 2] * 8, axis=0)
-
     max_cnt = jnp.max(jnp.sum(om.astype(jnp.int32), axis=0))
 
     def obody(it, om_i):
@@ -325,18 +190,12 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
 
 
-def _acc_shape(na_pad, nbins_pad, T, static_plan=None):
+def _acc_shape(na_pad, nbins_pad, T):
     # Valid targets satisfy k = row + d in [0, nbins), so a group's
     # q-loop slices stay within [base_off - G - 23,
     # base_off + nbins_pad + G + 16) with base_off = G + 24; the tight
     # accumulator keeps the per-tile zeroing cost down. (na_pad only
-    # bounds which groups exist, not the slice range.) The static sweep
-    # writes full-plane slices over its whole q window, so its
-    # accumulator is sized by the plan.
-    if static_plan is not None:
-        if static_plan[0] == 'horner':
-            return (static_plan[4], 2 * T)   # the chain state plane
-        return (static_plan[3], 2 * T)
+    # bounds which groups exist, not the slice range.)
     return (nbins_pad + 2 * _GROUP + 48, 2 * T)
 
 
@@ -475,7 +334,7 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
 
 
 def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
-                       has_sfs, static_plan=None, tier2='loop'):
+                       has_sfs):
     omax = params['omax']
 
     def kernel(*refs):
@@ -515,8 +374,7 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
         dm = jnp.where(valid & ~edge, d, _BIG)
 
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan, tier2=tier2)
+                            acc, oaccr, oacci, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -537,10 +395,10 @@ def _offs_column(nat_key, perm, na, na_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     'param_items', 'gamma', 'flipud', 'perm', 'nat_key', 'has_sfs',
-    'interpret', 'T', 'scatter_mode', 'scatter_tier2'))
+    'interpret', 'T'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                     gamma, flipud, perm, nat_key, has_sfs, interpret,
-                    T=1024, scatter_mode='group', scatter_tier2='loop'):
+                    T=1024):
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
@@ -586,10 +444,8 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
         args.append(prep_col(Sfs_col.astype(dt)))
         in_specs.append(col_spec)
 
-    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
     kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
-                                flipud, params['mode'], has_sfs,
-                                static_plan=splan, tier2=scatter_tier2)
+                                flipud, params['mode'], has_sfs)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
@@ -600,8 +456,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
-                                              splan), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -613,8 +468,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
 @functools.lru_cache(maxsize=64)
 def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
-                      interpret, T, scatter_mode='group',
-                      scatter_tier2='loop'):
+                      interpret, T):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     formulation of the identical math (the gradient of the reassignment
     w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
@@ -636,9 +490,7 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
     def f(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
         return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
                                param_items, gamma, flipud, perm, nat_key,
-                               has_sfs, interpret, T=T,
-                               scatter_mode=scatter_mode,
-                               scatter_tier2=scatter_tier2)
+                               has_sfs, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -670,11 +522,9 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
     Sfs_col = (jnp.asarray(Sfs, dt) if Sfs is not None else
                jnp.zeros((na,), dt))
 
-    from ..configs import get_config
     call2d = _ssq_fused_vjp_fn(
         tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
-        nat_key, Sfs is not None, bool(interpret), int(T),
-        str(get_config().scatter_mode), str(get_config().scatter_tier2))
+        nat_key, Sfs is not None, bool(interpret), int(T))
 
     def call(wr, wi, dr, di):
         return call2d(wr, wi, dr, di, const_col, Sfs_col)
@@ -696,8 +546,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # HBM; this kernel multiplies Wx by the per-row squeeze constant,
 # extracts edge-clamped bins via static reductions, and shift-scatters
 # --------------------------------------------------------------------------
-def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None,
-                    tier2='loop'):
+def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
     omax = nbins - 1
 
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
@@ -725,8 +574,7 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None,
         rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
         dm = jnp.where(valid & ~edge, k - rows, _BIG)
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan, tier2=tier2)
+                            acc, oaccr, oacci, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -735,12 +583,9 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, static_plan=None,
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T',
-                                             'scatter_mode',
-                                             'scatter_tier2'))
+                                             'interpret', 'T'))
 def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
-                     interpret, T=1024, scatter_mode='group',
-                     scatter_tier2='loop'):
+                     interpret, T=1024):
     na, N = wxr.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -774,9 +619,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
         offs_np = _offs_column(nat_key, perm, na, na_pad)
 
     offs = jnp.asarray(offs_np)
-    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
-    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins,
-                             static_plan=splan, tier2=scatter_tier2)
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -790,8 +633,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
         out_specs=(os, os),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
-                                              splan), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -802,8 +644,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T,
-                       scatter_mode='group', scatter_tier2='loop'):
+def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T):
     """custom_vjp: forward = k-consuming Pallas scatter; backward =
     adjoint gather via the XLA formulation (k is integer-valued and
     carries no tangent)."""
@@ -817,9 +658,7 @@ def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T,
     @jax.custom_vjp
     def f(wxr, wxi, k, const_col):
         return _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm,
-                                nat_key, interpret, T=T,
-                                scatter_mode=scatter_mode,
-                                scatter_tier2=scatter_tier2)
+                                nat_key, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -846,10 +685,8 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     dt = Wx.dtype
     c = jnp.asarray(const, dt).reshape(-1)
     const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
-    from ..configs import get_config
     f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
-                           int(T), str(get_config().scatter_mode),
-                           str(get_config().scatter_tier2))
+                           int(T))
     if Wx.re.ndim == 3:
         outr, outi = jax.vmap(
             lambda a, b, kk: f(a, b, kk, const_col))(Wx.re, Wx.im, k)
@@ -858,8 +695,7 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     return Complex(outr, outi)
 
 
-def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None,
-                         tier2='loop'):
+def _make_scatter_kernel(na_pad, nbins_pad, T):
     def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = vre_r.dtype
@@ -873,17 +709,14 @@ def _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=None,
         vre = vre_r[:] * validf
         vim = vim_r[:] * validf
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            static_plan=static_plan, tier2=tier2)
+                            acc, oaccr, oacci, outr, outi)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T',
-                                             'scatter_mode',
-                                             'scatter_tier2'))
+                                             'interpret', 'T'))
 def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
-                  T=512, scatter_mode='group', scatter_tier2='loop'):
+                  T=512):
     na, N = vre.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -916,9 +749,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
     k_ = prep(k)
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
 
-    splan = _static_plan(offs_np, na_pad, nbins_pad, scatter_mode)
-    kernel = _make_scatter_kernel(na_pad, nbins_pad, T, static_plan=splan,
-                                  tier2=scatter_tier2)
+    kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
@@ -932,8 +763,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
         out_specs=(os, os),
         out_shape=(jax.ShapeDtypeStruct((nbins_pad, N_pad), dt),
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
-        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T,
-                                              splan), dt),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
@@ -944,8 +774,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T,
-                    scatter_mode='group', scatter_tier2='loop'):
+def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T):
     """custom_vjp: Pallas scatter forward; backward is the adjoint gather
     (via jax.vjp of the XLA scatter — bin indices are integer inputs and
     carry no tangent)."""
@@ -957,8 +786,7 @@ def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T,
     @jax.custom_vjp
     def f(vre, vim, k, valid):
         return _scatter_call(vre, vim, k, valid, nbins, perm, nat_key,
-                             interpret, T=T, scatter_mode=scatter_mode,
-                             scatter_tier2=scatter_tier2)
+                             interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -982,9 +810,6 @@ def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
     nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
                if natural_bins is not None and len(natural_bins) == na
                else None)
-    from ..configs import get_config
-    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T),
-                        str(get_config().scatter_mode),
-                        str(get_config().scatter_tier2))
+    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T))
     outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)

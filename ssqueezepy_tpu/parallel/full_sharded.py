@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.pad import padsignal, pad_params
@@ -275,7 +275,7 @@ class FullShardedSSQCWT:
                       P(None, None), P(None)),
             out_specs=(P('batch', None, 'time'),
                        P('batch', None, 'time')),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def run(x):

@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..utils.cwt_utils import (process_scales, nv_from_scales, adm_ssq)
@@ -69,7 +69,7 @@ def _weighted_row_psum(arr_re, weights, mesh, axis_name='scale'):
     fn = shard_map(
         per_shard, mesh=mesh,
         in_specs=(P('batch', axis_name, None), P(axis_name)),
-        out_specs=P('batch', None), check_rep=False)
+        out_specs=P('batch', None), check_vma=False)
 
     @jax.jit
     def run(a):

@@ -23,7 +23,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.pad import padsignal, pad_params
@@ -206,7 +206,7 @@ class ShardedSSQCWT:
             out_specs=(P('batch', None, None), P('batch', None, None),
                        P('batch', 'scale', None),
                        P('batch', 'scale', None)),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def run(x):
@@ -264,7 +264,7 @@ def sharded_cwt(x, wavelet='gmw', scales='log-piecewise', nv=32, fs=1.,
                    in_specs=(P('batch', None), P('scale', None)),
                    out_specs=(P('batch', 'scale', None),
                               P('batch', 'scale', None)),
-                   check_rep=False)
+                   check_vma=False)
 
     @jax.jit
     def run(x):
@@ -298,11 +298,31 @@ def dryrun_multichip(n_devices):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((B, N)).astype(np.float32)
 
+    # single-device references (computed once; every sharded leg below
+    # must match NUMERICALLY, not just stay finite — a placement
+    # regression that keeps values finite must fail the driver gate too)
+    import ssqueezepy_tpu as stq
+
+    def _rel(a, b, trim=0):
+        a, b = np.asarray(a), np.asarray(b)
+        if trim:
+            a, b = a[..., trim:-trim], b[..., trim:-trim]
+        return np.abs(a - b).max() / max(np.abs(b).max(), 1e-30)
+
+    Tx_1, Wx_1, _, _ = stq.ssq_cwt(x, ('gmw', {'dtype': 'float32'}),
+                                   scales='log', nv=8, astensor=False)
+
     # forward sharded ssq_cwt
     plan = ShardedSSQCWT(N, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
                          mesh=mesh)
     Tx, Wx = plan(x)
     jax.block_until_ready(Tx.re)
+    # float32 bin-boundary rounding may flip single bins between
+    # execution paths (reference's own CPU/GPU criterion: atol 6e-3);
+    # column sums (the inversion integral) must agree tightly
+    assert _rel(Wx.to_numpy(), Wx_1) < 1e-5
+    assert _rel(Tx.to_numpy(), Tx_1) < 6e-3
+    assert _rel(Tx.to_numpy().sum(-2), Tx_1.sum(-2)) < 1e-4
 
     # gradient step: differentiate a reconstruction-style loss through the
     # FULL sharded forward — FFT conv, phase transform, bin map, scatter,
@@ -338,7 +358,7 @@ def dryrun_multichip(n_devices):
                        in_specs=(P('batch', None), P('scale', None),
                                  P('scale')),
                        out_specs=P('batch', None),
-                       check_rep=False)
+                       check_vma=False)
         xp_pad = padsignal(x_in, 'reflect')
         return fn(xp_pad, scales_j, const_j).mean()
 
@@ -357,6 +377,9 @@ def dryrun_multichip(n_devices):
     Tt, Wt, dWt = tplan(x)
     jax.block_until_ready(Tt.re)
     assert np.isfinite(np.asarray(Tt.re)).all()
+    # interior columns (halo-width margin at the signal edges)
+    assert _rel(Wt.to_numpy(), Wx_1, trim=32) < 5e-3
+    assert _rel(Tt.to_numpy().sum(-2), Tx_1.sum(-2), trim=32) < 5e-3
 
     # full three-axis composition: batch x scale x time in ONE shard_map
     # (SURVEY.md §5.8 Mesh(('data','scale','time')))
@@ -370,6 +393,7 @@ def dryrun_multichip(n_devices):
         T3 = p3(x)
         jax.block_until_ready(T3.re)
         assert np.isfinite(np.asarray(T3.re)).all()
+        assert _rel(T3.to_numpy().sum(-2), Tx_1.sum(-2), trim=32) < 5e-3
 
     # sharded STFT family: frequency-row sharding with the squeeze's
     # bin reduction as the only cross-chip psum
@@ -385,6 +409,11 @@ def dryrun_multichip(n_devices):
     Ts, Ss = splan(x)
     jax.block_until_ready(Ts.re)
     assert np.isfinite(np.asarray(Ts.re)).all()
+    Ts_1, Ss_1, _, _ = stq.ssq_stft(x, n_fft=64, dtype='float32',
+                                    astensor=False)
+    assert _rel(Ss.to_numpy(), Ss_1) < 1e-5
+    assert _rel(Ts.to_numpy(), Ts_1) < 6e-3
+    assert _rel(Ts.to_numpy().sum(-2), Ts_1.sum(-2)) < 1e-4
 
     # second-order (WSST2/FSST2) under sharding: the five-kernel
     # filterbank blocks + per-cell chirp regression per shard, one psum
@@ -394,12 +423,18 @@ def dryrun_multichip(n_devices):
     T2, W2 = p2(x)
     jax.block_until_ready(T2.re)
     assert np.isfinite(np.asarray(T2.re)).all()
+    T2_1, _, _, _ = stq.ssq_cwt2(x, ('gmw', {'dtype': 'float32'}),
+                                 scales='log', nv=8, astensor=False)
+    assert _rel(T2.to_numpy().sum(-2), T2_1.sum(-2)) < 1e-3
 
     from .sharded_stft import ShardedSSQSTFT2
     s2 = ShardedSSQSTFT2(N, n_fft=64, mesh=hmesh, dtype='float32')
     Ts2, Ss2 = s2(x)
     jax.block_until_ready(Ts2.re)
     assert np.isfinite(np.asarray(Ts2.re)).all()
+    T2s_1, _, _, _ = stq.ssq_stft2(x, n_fft=64, dtype='float32',
+                                   astensor=False)
+    assert _rel(Ts2.to_numpy().sum(-2), T2s_1.sum(-2)) < 1e-3
 
     # sharded inverses: scale-axis psum round trips on the forward's
     # distributed outputs (parallel/inverse.py)
@@ -407,6 +442,11 @@ def dryrun_multichip(n_devices):
     xr = sharded_icwt(Wx, ('gmw', {'dtype': 'float32'}), 'log', nv=8,
                       x_len=N, mesh=mesh)
     assert xr.shape == (B, N) and np.isfinite(xr).all()
+    xr_1 = stq.icwt(Wx_1, ('gmw', {'dtype': 'float32'}), scales='log',
+                    nv=8, x_len=N)
+    assert _rel(xr, xr_1) < 1e-3
     xr2 = sharded_issq_cwt(Tx, ('gmw', {'dtype': 'float32'}), mesh=mesh)
     assert xr2.shape == (B, N) and np.isfinite(xr2).all()
+    xr2_1 = stq.issq_cwt(Tx_1, ('gmw', {'dtype': 'float32'}))
+    assert _rel(xr2, xr2_1) < 1e-3
     return True

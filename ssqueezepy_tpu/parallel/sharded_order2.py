@@ -18,7 +18,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.fft import fft
@@ -134,7 +134,7 @@ class ShardedSSQCWT2:
             out_specs=(P('batch', None, None), P('batch', None, None),
                        P('batch', 'scale', None),
                        P('batch', 'scale', None)),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def run(x):

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.fft import fft, ifft
@@ -208,7 +208,7 @@ class ShardedSSQSTFT:
             out_specs=(P('batch', None, None), P('batch', None, None),
                        P('batch', 'scale', None),
                        P('batch', 'scale', None)),
-            check_rep=False)
+            check_vma=False)
 
         tables = tuple(jnp.asarray(t) for t in self._tables_np())
         sfs_j = jnp.asarray(sfs_pad)
@@ -278,7 +278,7 @@ class ShardedSSQSTFT2(ShardedSSQSTFT):
 
     def _build(self):
         from jax.sharding import PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from ..models.ssq_stft import _fsst2_rows
         from ..models.ssq_cwt import _apply_squeezing
         mesh = self.mesh
@@ -322,7 +322,7 @@ class ShardedSSQSTFT2(ShardedSSQSTFT):
             out_specs=(P('batch', None, None), P('batch', None, None),
                        P('batch', 'scale', None),
                        P('batch', 'scale', None)),
-            check_rep=False)
+            check_vma=False)
 
         tables = tuple(jnp.asarray(t) for t in self._tables_np())
         sfs_j = jnp.asarray(sfs_pad)

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.complexlib import Complex
 from ..ops.ssq_kernels import (ssq_bin_params, compute_bins, _scatter_xla,
@@ -312,7 +312,7 @@ class TimeShardedSSQCWT:
             per_shard, mesh=mesh,
             in_specs=(P('batch', 'time'), P(None, None), P(None)),
             out_specs=tuple([P('batch', None, 'time')] * n_out),
-            check_rep=False)
+            check_vma=False)
 
         @jax.jit
         def run(x):

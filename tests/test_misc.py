@@ -252,3 +252,21 @@ def test_migration_shims():
     finally:
         tsmod.DEFAULT_SNR = old
     assert not stq.is_tensor(np.zeros(2))
+
+
+def test_cwt_vectorized_false_chunked_equals_vectorized():
+    """`vectorized=False` (memory-constrained scale-chunked execution;
+    reference _cwt.py:179-199) must equal the vectorized path exactly —
+    same math, chunked scheduling only. Chunk boundary exercised by
+    na > chunk size (na = 96+ for 'log' nv=16 at N=512)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(512).astype(np.float32)
+    Wv, sv, dWv = stq.cwt(x, 'gmw', scales='log', nv=16, derivative=True,
+                          astensor=False)
+    from ssqueezepy_tpu.models import cwt as cwt_mod
+    assert len(sv) > cwt_mod._CWT_CHUNK  # chunking actually engages
+    Wc, sc, dWc = stq.cwt(x, 'gmw', scales='log', nv=16, derivative=True,
+                          vectorized=False, astensor=False)
+    assert np.allclose(sv, sc)
+    assert np.abs(Wv - Wc).max() < 1e-6 * max(np.abs(Wv).max(), 1)
+    assert np.abs(dWv - dWc).max() < 1e-6 * max(np.abs(dWv).max(), 1)
