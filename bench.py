@@ -34,9 +34,19 @@ REF_GPU = {('ssq_cwt', 160000): 0.0856, ('ssq_cwt', 10000): 0.00941,
            ('cwt', 160000): 0.0367, ('cwt', 10000): 0.00393,
            ('stft', 160000): 0.0643, ('stft', 10000): 0.00534,
            ('ssq_stft', 160000): 0.159, ('ssq_stft', 10000): 0.0278,
-           # batched cell: per-transform bar is the reference's single-
-           # transform cwt@10k (the reference has no batched protocol)
-           ('cwt_b16', 10000): 0.00393}
+           # batched cells: per-transform bar is the reference's single-
+           # transform time (the reference has no batched protocol)
+           ('cwt_b16', 10000): 0.00393,
+           ('ssq_cwt_b4', 160000): 0.0856,
+           # Tx-only (get_Wx=False) extension: same reference bar — the
+           # reference always materializes Wx, this cell shows what
+           # dropping it is worth on TPU
+           ('ssq_cwt_txonly', 160000): 0.0856,
+           # second-order flagships: NO reference analog — ratio is vs
+           # the reference's FIRST-order transform (an upper bar: the
+           # order-2 transform does strictly more work)
+           ('ssq_cwt2', 160000): 0.0856,
+           ('ssq_stft2', 160000): 0.159}
 
 
 def main():
@@ -82,6 +92,7 @@ def main():
     xs = {N: jnp.asarray(rng.standard_normal(N).astype(np.float32))
           for N in (160000, 10000)}
     xb16 = jnp.asarray(rng.standard_normal((16, 10000)).astype(np.float32))
+    xb4 = jnp.asarray(rng.standard_normal((4, 160000)).astype(np.float32))
 
     def timecell(fn, n_warm=3, n_runs=10):
         for _ in range(n_warm):
@@ -98,20 +109,31 @@ def main():
     def cell(name, N):
         if name == 'cwt_b16':
             return lambda: stq.cwt(xb16, **kw_cwt)
+        if name == 'ssq_cwt_b4':
+            return lambda: stq.ssq_cwt(xb4, ssq_freqs=ssq_freqs, **kw_cwt)
         x = xs[N]
         if name == 'ssq_cwt':
             return lambda: stq.ssq_cwt(x, ssq_freqs=ssq_freqs, **kw_cwt)
+        if name == 'ssq_cwt_txonly':
+            return lambda: stq.ssq_cwt(x, ssq_freqs=ssq_freqs,
+                                       get_Wx=False, **kw_cwt)
         if name == 'cwt':
             return lambda: stq.cwt(x, **kw_cwt)
         if name == 'stft':
             return lambda: (stq.stft(x, n_fft=n_fft),)
+        if name == 'ssq_cwt2':
+            return lambda: stq.ssq_cwt2(x, wav_spec, scales=scales)
+        if name == 'ssq_stft2':
+            return lambda: stq.ssq_stft2(x, n_fft=n_fft)
         return lambda: stq.ssq_stft(x, n_fft=n_fft)
 
-    # headline first; then the rest, most-informative first; the batched
-    # cell times B=16 transforms per call (recorded per-transform)
+    # headline first; then the rest, most-informative first; batched
+    # cells time B transforms per call (recorded per-transform)
     order = [('ssq_cwt', 160000), ('ssq_cwt', 10000), ('cwt', 160000),
              ('stft', 160000), ('ssq_stft', 160000), ('cwt', 10000),
-             ('stft', 10000), ('ssq_stft', 10000), ('cwt_b16', 10000)]
+             ('stft', 10000), ('ssq_stft', 10000), ('cwt_b16', 10000),
+             ('ssq_cwt_b4', 160000), ('ssq_cwt_txonly', 160000),
+             ('ssq_cwt2', 160000), ('ssq_stft2', 160000)]
     sweep = {}
     headline = None
     # HARD per-cell guard: a fresh remote compile costs 2-5 min, so a

@@ -63,6 +63,20 @@ def main():
           "n_up:", p2.n_up, flush=True)
     run(p2, dev_chunks, "ssq_cwt stream (97 scales)")
 
+    # ---- multirate A/B (VERDICT r3 #3): same WIDE scale grid (large
+    # scales are where the octave cascade pays), flat vs cascaded -------
+    from ssqueezepy_tpu.streaming_multirate import StreamingMultirateSSQCWT
+    wide = np.geomspace(1., 512., 181).reshape(-1, 1)
+    pf = StreamingSSQCWT(chunk, ('gmw', {'dtype': 'float32'}),
+                         scales=wide, nv=None, N=16 * chunk,
+                         history=8192, lookahead=8192)
+    run(pf, dev_chunks, "ssq_cwt stream flat (181 wide scales)")
+    pm = StreamingMultirateSSQCWT(chunk, ('gmw', {'dtype': 'float32'}),
+                                  scales=wide, nv=None, N=16 * chunk)
+    print("multirate octaves max:", int(pm.octaves.max()),
+          "analytic compute_ratio: %.3f" % pm.compute_ratio(), flush=True)
+    run(pm, dev_chunks, "ssq_cwt stream multirate (181 wide scales)")
+
 
 if __name__ == '__main__':
     main()

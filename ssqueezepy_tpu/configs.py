@@ -173,3 +173,15 @@ def USE_GPU():
     Accelerator selection is automatic; force with
     `configure(backend='cpu'|'tpu')` or `SSQTPU_BACKEND`."""
     return backend() == 'tpu'
+
+
+def exec_config_key():
+    """Hashable fingerprint of the config knobs that select EXECUTION
+    PATHS inside cached jit factories (backend dispatch, Pallas gating).
+    Every lru/dict cache keyed on a plan must include this — otherwise a
+    `configure(backend=...)` between calls serves a stale runner built
+    under the previous config (observed: a CPU-path runner answering for
+    the TPU bins pipeline after reconfiguration)."""
+    cfg = get_config()
+    return (backend(), cfg.use_pallas, cfg.pallas_interpret,
+            cfg.ssq_lowprec_deriv)

@@ -210,7 +210,8 @@ def cwt_core(xp_pad, wavelet, scales_j, dt, derivative, l1_norm, n1, N,
 
 @functools.lru_cache(maxsize=64)
 def _cwt_jit(wav_key, shape, dtype, n_up, n1, N, derivative, l1_norm,
-             rpadded, is_2d, wavelet_ref, padtype='reflect', klims=None):
+             rpadded, is_2d, wavelet_ref, padtype='reflect', klims=None,
+             cfg_key=None):
     """Cached jitted forward CWT (raw signal in; scrub + pad inside the
     jit — eager device ops cost a dispatch round trip each on the
     tunneled backend); `wavelet_ref` is a weak holder tuple."""
@@ -333,9 +334,10 @@ def cwt(x, wavelet='gmw', scales='log-piecewise', fs=None, t=None, nv=32,
         return _cwt_chunked(xj, xnp.shape, wavelet, scales_np, dt, dtype,
                             n_up, n1, N, derivative, l1_norm, rpadded,
                             is_2d, padtype, astensor)
+    from ..configs import exec_config_key
     runner = _cwt_jit(_wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N,
                       bool(derivative), bool(l1_norm), bool(rpadded), is_2d,
-                      (wavelet,), padtype, klims)
+                      (wavelet,), padtype, klims, exec_config_key())
     if isinstance(scales, str):
         skey = (scales, N, _wavelet_key(wavelet), nv, dtype)
     elif isinstance(scales, np.ndarray):

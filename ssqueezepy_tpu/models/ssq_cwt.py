@@ -36,7 +36,8 @@ __all__ = ['ssq_cwt', 'issq_cwt']
 def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                  flipud, squeezing, param_items, gamma, Sfs_none,
                  natural_key, wavelet_ref, const_key, padtype='reflect',
-                 deriv_lowprec=False, klims=None):
+                 deriv_lowprec=False, klims=None, get_Wx=True,
+                 cfg_key=None):
     """Cached fused jit: RAW signal -> (Tx, Wx, dWx). NaN scrub and
     padding run inside the jit (eager device ops cost a full dispatch
     round trip each on the tunneled backend)."""
@@ -66,6 +67,45 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         from ..ops.ssq_pallas import scatter_kv_pallas
         half = n_up // 2 + 1
         nbins = params['omax'] + 1
+        na = len(natural_bins) if natural_bins is not None else None
+
+        # zero-prep direct pipeline (round-4): the CWT kernel emits the
+        # scatter's exact layout (32-rounded rows, T-rounded width,
+        # int16 k with -1 invalid marking), so the XLA pad+gather prep
+        # pass (~4.5 ms at the bench shape, PROFILE.md round-4
+        # calibration) never runs. Applies when the rows are already in
+        # natural-bin order (identity placement — true for the library's
+        # own CWT ssq grids) and squeezing is plain 'sum'.
+        use_direct = (not is_2d and squeezing in (None, 'sum')
+                      and natural_bins is not None
+                      and np.array_equal(natural_bins, np.arange(na)))
+        if use_direct:
+            from ..ops.cwt_pallas import cwt_fused_bins_direct
+            from ..ops.ssq_pallas import scatter_kv_direct
+            T_sc = 1024
+            na_pad = -(-na // 32) * 32
+
+            def run(xj, scales_j, dt, const):
+                xj = xj.astype(dtype)
+                xj = jnp.where(jnp.isfinite(xj), xj, 0)
+                xp_pad = padsignal(xj, padtype)
+                xh = _fft(Complex(xp_pad, jnp.zeros_like(xp_pad)),
+                          axis=-1, out_range=(0, half), imag_zero=True)
+                WxF, k, off = cwt_fused_bins_direct(
+                    xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,
+                    params, gamma, flipud, interpret=interp,
+                    deriv_lowprec=True, klims=klims, T=T_sc)
+                const_pad = jnp.pad(const.reshape(-1), (0, na_pad - na))
+                TxF = scatter_kv_direct(WxF, k, const_pad, nbins,
+                                        interpret=interp, T=T_sc)
+                Tx = Complex(TxF.re[:nbins, off:off + N],
+                             TxF.im[:nbins, off:off + N])
+                if not get_Wx:
+                    return Tx, None, None
+                Wx = Complex(WxF.re[:na, off:off + N],
+                             WxF.im[:na, off:off + N])
+                return Tx, Wx, None
+            return jax.jit(run)
 
         def run(xj, scales_j, dt, const):
             xj = xj.astype(dtype)
@@ -236,7 +276,7 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
             maprange='peak', difftype='trig', difforder=None, gamma=None,
             vectorized=True, preserve_transform=None, astensor=True,
             order=0, nan_checks=None, patience=0, flipud=True,
-            cache_wavelet=None, get_w=False, get_dWx=False):
+            cache_wavelet=None, get_w=False, get_dWx=False, get_Wx=True):
     """Synchrosqueezed Continuous Wavelet Transform.
 
     API parity with reference `ssq_cwt` (_ssq_cwt.py:12-310). Returns
@@ -285,11 +325,14 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     if (isinstance(order, (tuple, list, range)) or order > 0 or get_w or
             difftype != 'trig' or
             not (squeezing is None or isinstance(squeezing, str))):
-        return _ssq_cwt_compositional(
+        out = _ssq_cwt_compositional(
             xnp, wavelet, scales_np, cwt_scaletype, nv_, fs_, dt, ssq_freqs,
             padtype, squeezing, maprange, difftype, difforder, gamma,
             preserve_transform, astensor, order, flipud, get_w, get_dWx,
             const, params, natural, logscale, is_2d, N)
+        if not get_Wx:
+            out = (out[0], None) + tuple(out[2:])
+        return out
 
     # ---- fused fast path --------------------------------------------------
     if padtype is not None:
@@ -307,8 +350,10 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     # whole-call memo: rebuilding the jit-cache key (param/natural-bin
     # tuples, klims) costs ~0.5 ms/call — a visible slice of a small-N
     # repeated call (the reference benchmark's own protocol)
+    from ..configs import exec_config_key
+    cfg_key = exec_config_key()
     callkey = ((devkey, xnp.shape, dtype, padtype, squeezing, gamma,
-                lowprec) if devkey is not None else None)
+                lowprec, get_Wx, cfg_key) if devkey is not None else None)
     hit = _RUNNER_CACHE.get(callkey) if callkey is not None else None
     if hit is not None:
         runner, scales_j, const_j = hit
@@ -326,13 +371,18 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
             # configure(ssq_lowprec_deriv=False)
             deriv_lowprec=lowprec,
             # per-scale stage-1 support pruning (exact at f32)
-            klims=support_klims(wavelet, scales_np, n_up))
+            klims=support_klims(wavelet, scales_np, n_up),
+            get_Wx=get_Wx, cfg_key=cfg_key)
         scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
                                                 dtype)
         if callkey is not None:
             _RUNNER_CACHE[callkey] = (runner, scales_j, const_j)
     from .cwt import _device_scalar
     Tx, Wx, dWx = runner(xj, scales_j, _device_scalar(dt, dtype), const_j)
+    if not get_Wx:
+        # uniform contract: Tx-only requested -> Wx is None on every
+        # path (the direct pipeline also skips computing the Wx slice)
+        Wx = None
 
     # for CWT, ssq_freqs are always returned reversed (reference
     # ssqueezing.py:217-222: flips when `(cwt and not flipud) or flipud`)
@@ -341,7 +391,7 @@ def ssq_cwt(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     scales_out = scales_np.squeeze()
     if not astensor:
         Tx = Tx.to_numpy()
-        Wx = Wx.to_numpy()
+        Wx = Wx.to_numpy() if Wx is not None else None
         dWx = dWx.to_numpy() if dWx is not None else None
     if get_dWx:
         return Tx, Wx, ssq_freqs_out, scales_out, dWx

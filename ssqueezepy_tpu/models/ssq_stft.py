@@ -33,7 +33,7 @@ __all__ = ['ssq_stft', 'ssq_stft2', 'issq_stft']
 def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
                        padtype, padlength, fs_val, flipud, squeezing,
                        param_items, gamma, natural_key, sfs_key,
-                       const_val, need_dsx=False):
+                       const_val, need_dsx=False, cfg_key=None):
     """Cached fused jit: raw signal -> (Tx, Sx, dSx). Traces the
     convolution-form (or framed) STFT and the fused reassignment into one
     program; all plan constants are static."""
@@ -77,6 +77,38 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
         from ..ops.stft_conv import stft_conv_bins
         from ..ops.ssq_pallas import scatter_kv_pallas
         nbins = params['omax'] + 1
+        n_rows = n_fft // 2 + 1
+
+        # zero-prep direct pipeline (round-4): the STFT table kernel
+        # emits the scatter's exact layout (32-rounded rows, T-rounded
+        # width, int16 k), so no XLA pad/gather prep runs between the
+        # two kernels. Identity natural bins (the STFT default grid)
+        # and plain 'sum' squeezing only.
+        use_direct = (not is_2d and squeezing in (None, 'sum')
+                      and natural is not None
+                      and np.array_equal(natural, np.arange(n_rows)))
+        if use_direct:
+            from ..ops.ssq_pallas import scatter_kv_direct
+            T_sc = 1024
+            na_pad = -(-n_rows // 32) * 32
+            const_pad = jnp.asarray(np.pad(
+                np.full(n_rows, const, dtype), (0, na_pad - n_rows)))
+
+            def run(xj, *tbl):
+                xj = xj.astype(dtype)
+                SxF, k = stft_conv_bins(xj, fs_val, n_fft, N, win_key,
+                                        modulated, padtype, padlength,
+                                        dtype, params, gamma, flipud,
+                                        sfs_key, tbl, interpret=interp,
+                                        direct_T=T_sc)
+                TxF = scatter_kv_direct(SxF, k, const_pad, nbins,
+                                        interpret=interp, T=T_sc)
+                Tx = Complex(TxF.re[:nbins, :N], TxF.im[:nbins, :N])
+                Sx = Complex(SxF.re[:n_rows, :N], SxF.im[:n_rows, :N])
+                return Tx, Sx, None
+
+            jitted = jax.jit(run)
+            return lambda xj: jitted(xj, *tables)
 
         def run(xj, *tbl):
             xj = xj.astype(dtype)
@@ -179,10 +211,12 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
                     str(spec.dtype))
         return _UNCACHEABLE
 
+    from ..configs import exec_config_key
+    cfg_key = exec_config_key()
     plankey = (wkey(window), wkey(ssq_freqs), xnp.shape, n_fft_, win_len,
                int(hop_len), float(fs_), bool(modulated), padtype, dtype_,
                gamma, bool(flipud), bool(get_w), bool(get_dWx),
-               squeezing if isinstance(squeezing, str) else None)
+               squeezing if isinstance(squeezing, str) else None, cfg_key)
     if _UNCACHEABLE in (plankey[0], plankey[1]):
         plankey = None
     plan = _SSQ_STFT_PLANS.get(plankey) if plankey is not None else None
@@ -210,7 +244,8 @@ def ssq_stft(x, window=None, n_fft=None, win_len=None, hop_len=1, fs=None,
                 squeezing if isinstance(squeezing, str) else None,
                 tuple(sorted(params.items())), gamma,
                 tuple(natural.tolist()) if natural is not None else None,
-                tuple(Sfs.tolist()), const, need_dsx=bool(get_dWx))
+                tuple(Sfs.tolist()), const, need_dsx=bool(get_dWx),
+                cfg_key=cfg_key)
         plan = (runner, Sfs, ssq_freqs, const, params, natural)
         if plankey is not None:
             _SSQ_STFT_PLANS[plankey] = plan

@@ -69,16 +69,24 @@ def _dot_lo(a, b):
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                  dtype, na_mod=None, deriv_lowprec=False, rps=1,
-                 bin_spec=None):
+                 bin_spec=None, direct=None, n_alias=0):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
     assert rps == 1 or na_mod is None
     assert bin_spec is None or deriv
+    # direct (zero-prep) bins mode: (col_off, N_valid, na_live, r0,
+    # kdtype) — the k plane is emitted scatter-ready: -1 on out-of-range
+    # columns and on the dummy tail rows (absolute row >= na_live) that
+    # pad the plane to the scatter's 32-row granularity, cast to kdtype
+    # (int16 halves the scatter's k input volume)
+    assert direct is None or (bin_spec is not None and rps == 1
+                              and na_mod is None)
 
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
-               tre_r, tim_r, w2re_r, w2im_r, *outs):
+               tre_r, tim_r, w2re_r, w2im_r, *rest):
+        outs = rest[n_alias:]      # skip donated alias-chain input refs
         # outs: (Wre, Wim[, dre, dim]) when deriv else (Wre, Wim)
         #
         # The whole pipeline runs in TRANSPOSED layout (frequency digit m2
@@ -149,7 +157,7 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
             else:
                 # bin-output variant: the derivative rows never leave
                 # VMEM — the phase transform + bin map run right here on
-                # the freshly computed half blocks and only the int32
+                # the freshly computed half blocks and only the int
                 # bin plane (k, -1 = gamma-gated) is written
                 from .ssq_pallas import _phase_bin_math
                 params, gamma, flipud, mode = bin_spec
@@ -162,9 +170,27 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                     k, valid = _phase_bin_math(Wre, Wim, Dre, Dim,
                                                dict(params), gamma,
                                                flipud, mode)
-                    outs[2][j, :, sl] = jnp.where(valid, k, -1)
+                    if direct is None:
+                        outs[2][j, :, sl] = jnp.where(valid, k, -1)
+                    else:
+                        col_off, N_valid, na_live, r0, kdtype = direct
+                        # flattened time col n = k2*f1 + k1; valid data
+                        # lives in [col_off, col_off + N_valid)
+                        lin = (jax.lax.broadcasted_iota(
+                                   jnp.int32, k.shape, 0) * f1
+                               + jax.lax.broadcasted_iota(
+                                   jnp.int32, k.shape, 1) + h * hk1)
+                        ok = (valid & (lin >= col_off)
+                              & (lin < col_off + N_valid)
+                              & (r0 + i < na_live))
+                        outs[2][j, :, sl] = jnp.where(ok, k, -1) \
+                            .astype(kdtype)
 
     return kernel
+
+
+def _round_up32(x):
+    return -(-x // 32) * 32
 
 
 _KLIM_MEMO = {}
@@ -271,22 +297,26 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
 @functools.partial(
     jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
                               'l1_norm', 'dtype', 'interpret',
-                              'deriv_lowprec', 'klims', 'bin_spec'))
+                              'deriv_lowprec', 'klims', 'bin_spec',
+                              'direct_T', 'kdtype'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                     deriv, l1_norm, dtype, interpret=False,
-                    deriv_lowprec=False, klims=None, bin_spec=None):
+                    deriv_lowprec=False, klims=None, bin_spec=None,
+                    direct_T=None, kdtype='int16'):
     # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
     # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
     # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
     # per-m3-sliced hybrids measured net-neutral. Balanced 2-stage it is.
     return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                             n_up, n1, N, deriv, l1_norm, dtype, interpret,
-                            deriv_lowprec, klims, bin_spec)
+                            deriv_lowprec, klims, bin_spec, direct_T,
+                            kdtype)
 
 
 def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                      deriv, l1_norm, dtype, interpret=False,
-                     deriv_lowprec=False, klims=None, bin_spec=None):
+                     deriv_lowprec=False, klims=None, bin_spec=None,
+                     direct_T=None, kdtype='int16'):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
@@ -296,6 +326,14 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     # so n in [n1, n1+N) restricts k2 to [n1 // f1, ceil((n1+N) / f1))
     k2lo = n1 // f1
     k2hi = -(-(n1 + N) // f1)
+    if direct_T is not None:
+        # zero-prep bins mode: the output width IS the scatter's padded
+        # width, so extend k2span until it divides the scatter tile
+        # (extra k2 rows synthesize wrapped time samples — masked
+        # invalid in the k plane, never read from Wx)
+        assert bin_spec is not None and xh_re.ndim == 1
+        while ((k2hi - k2lo) * f1) % direct_T:
+            k2hi += 1
     k2span = k2hi - k2lo
 
     na = scales.shape[0]
@@ -324,8 +362,9 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     tre = np.ascontiguousarray(tre.T).astype(dt_s)     # (f2, f1)
     tim = np.ascontiguousarray(tim.T).astype(dt_s)
     w2re, w2im = _dft_matrix_np(f2, +1, 'float64')     # (f2, f2)
-    w2re = np.ascontiguousarray(w2re[k2lo:k2hi]).astype(dt_s)  # (span, f2)
-    w2im = np.ascontiguousarray(w2im[k2lo:k2hi]).astype(dt_s)
+    k2rows = np.arange(k2lo, k2hi) % f2    # periodic: direct_T may extend
+    w2re = np.ascontiguousarray(w2re[k2rows]).astype(dt_s)  # (span, f2)
+    w2im = np.ascontiguousarray(w2im[k2rows]).astype(dt_s)
 
     # signal spectrum block (zero-padded to rows0*f2) with the Nyquist
     # halving + pad mask folded in (psih*nyq*xh == psih*(nyq*xh));
@@ -371,6 +410,74 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     rps_all = 1
     if not batched and k2span * f1 * 4 <= 2 ** 18:
         rps_all = 8
+
+    if direct_T is not None:
+        # ---- zero-prep bins mode -------------------------------------
+        # Emit scatter-ready planes: (na_pad, k2span, f1) with
+        # na_pad % 32 == 0 (dummy tail rows duplicate the last scale and
+        # carry k = -1), k cast to `kdtype`, out-of-range columns masked
+        # in-kernel. Ranges chain through ONE set of output buffers via
+        # pallas input_output_aliases (each range's grid writes its own
+        # absolute rows; no XLA concat/assembly pass ever runs).
+        na_pad = _round_up32(na)
+        ranges = _plan_ranges(klims, na, rows0)
+        r0l, r1l, kbl = ranges[-1]
+        ranges[-1] = (r0l, na_pad, kbl)
+        scl_all = jnp.pad(scales_col, ((0, na_pad - na), (0, 0)),
+                          mode='edge')
+        bufs = None
+        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        for (r0, r1, kb) in ranges:
+            nb = r1 - r0
+            in_specs = [
+                pl.BlockSpec((nb, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                const((f2, kb)), const((f2, kb)), const((f2, kb)),
+                const((kb, f1)), const((kb, f1)),
+                const((f2, f1)), const((f2, f1)),
+                const((k2span, f2)), const((k2span, f2)),
+            ]
+            out_spec = pl.BlockSpec((1, k2span, f1),
+                                    lambda i, r0=r0: (r0 + i, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            n_alias = 0 if bufs is None else 3
+            kernel = _make_kernel(
+                wavelet.fn, kb, f1, f2, k2span, True, l1_norm,
+                jnp.dtype(dt_s), deriv_lowprec=deriv_lowprec,
+                bin_spec=bin_spec, direct=(off, N, na, r0, kdtype),
+                n_alias=n_alias)
+            args = [scl_all[r0:r1], invdt_a,
+                    jnp.asarray(np.ascontiguousarray(xi_blk[:, :kb]),
+                                dt_s),
+                    xr[:, :kb].astype(dt_s), xi_[:, :kb].astype(dt_s),
+                    jnp.asarray(np.ascontiguousarray(wre[:kb])),
+                    jnp.asarray(np.ascontiguousarray(wim[:kb])),
+                    jnp.asarray(tre), jnp.asarray(tim),
+                    jnp.asarray(w2re), jnp.asarray(w2im)]
+            kw = {}
+            if bufs is not None:
+                args += list(bufs)
+                in_specs += [any_spec] * 3
+                kw['input_output_aliases'] = {len(args) - 3: 0,
+                                              len(args) - 2: 1,
+                                              len(args) - 1: 2}
+            bufs = pl.pallas_call(
+                kernel,
+                grid=(nb,),
+                in_specs=in_specs,
+                out_specs=(out_spec,) * 3,
+                out_shape=(
+                    jax.ShapeDtypeStruct((na_pad, k2span, f1), dt_s),
+                    jax.ShapeDtypeStruct((na_pad, k2span, f1), dt_s),
+                    jax.ShapeDtypeStruct((na_pad, k2span, f1), kdtype)),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+                **kw,
+            )(*args)
+        return tuple(o.reshape(na_pad, out_w) for o in bufs)
 
     pieces = []
     for (r0, r1, kb) in _plan_ranges(klims, na, rows0):
@@ -531,6 +638,72 @@ def _cwt_fused_bins_vjp_fn(wavelet_ref, n_up, n1, N, l1_norm, dtype,
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+@functools.lru_cache(maxsize=32)
+def _cwt_fused_bins_direct_vjp_fn(wavelet_ref, n_up, n1, N, l1_norm, dtype,
+                                  interpret, deriv_lowprec, klims, bin_spec,
+                                  direct_T, kdtype):
+    """custom_vjp for the zero-prep bins variant: forward = Pallas
+    (Wx_full, k_full, padded layout); backward = jax.vjp of the XLA
+    Wx-only formulation fed the [: na, off:off+N] slice of the Wx
+    cotangent (the dummy tail rows / out-of-range columns are padding by
+    contract — the scatter's adjoint puts exactly zero there, and the
+    caller's Wx slice never reads them)."""
+    wavelet = wavelet_ref[0]
+
+    def xla_ref(xh_re, xh_im, scales, inv_dt):
+        return _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up,
+                             n1, N, False, l1_norm, dtype)
+
+    @jax.custom_vjp
+    def f(xh_re, xh_im, scales, inv_dt):
+        return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
+                               n_up, n1, N, True, l1_norm, dtype,
+                               interpret, deriv_lowprec, klims, bin_spec,
+                               direct_T, kdtype)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(args, g):
+        from .fft import _factorize
+        na = args[2].shape[0]
+        off = n1 % _factorize(n_up)[0]
+        gre = g[0][:na, off:off + N]
+        gim = g[1][:na, off:off + N]
+        _, vjp = jax.vjp(xla_ref, *args)
+        return vjp((gre, gim))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def cwt_fused_bins_direct(xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,
+                          params, gamma, flipud, interpret=False,
+                          deriv_lowprec=True, klims=None, T=1024,
+                          kdtype='int16'):
+    """Zero-prep fused CWT + phase + bin map: returns
+    (Wx_full, k_full, off) in the SCATTER's layout — (na_pad, W) planes
+    with na_pad = 32-rounded na, W = T-rounded output width, k in
+    `kdtype` with -1 marking gamma-gated cells, dummy tail rows and
+    out-of-range columns. Feed directly to
+    `ops.ssq_pallas.scatter_kv_direct` (no pad/gather prep pass); the
+    caller's Wx is the [:na, off:off+N] slice. 1D input only."""
+    dtype = str(xh.re.dtype)
+    scales = scales_j.reshape(-1)
+    inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
+    bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
+                params['mode'])
+    f = _cwt_fused_bins_direct_vjp_fn(
+        (wavelet,), int(n_up), int(n1), int(N), bool(l1_norm), dtype,
+        bool(interpret), bool(deriv_lowprec),
+        klims if klims is None else tuple(klims), bin_spec, int(T),
+        str(kdtype))
+    Wre, Wim, k = f(xh.re, xh.im, scales, inv_dt)
+    from .fft import _factorize
+    off = n1 % _factorize(n_up)[0]
+    return Complex(Wre, Wim), k, off
 
 
 def cwt_fused_bins_pallas(xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,

@@ -552,7 +552,9 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
                oaccr, oacci):
         dt = wxr.dtype
-        k = k_r[:]
+        # k may arrive int16 (the direct pipeline's -10%-input-volume
+        # lever); tier math runs int32 (_BIG exceeds int16)
+        k = k_r[:].astype(jnp.int32)
         valid = (k >= 0) & (k <= omax)
         validf = valid.astype(dt)
         cst = const_r[:]
@@ -693,6 +695,101 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     else:
         outr, outi = f(Wx.re, Wx.im, k, const_col)
     return Complex(outr, outi)
+
+
+# --------------------------------------------------------------------------
+# direct (zero-prep) kv scatter: inputs arrive ALREADY in the scatter's
+# layout — (na_pad, W) planes with na_pad % 32 == 0, W % T == 0, invalid
+# cells (gamma-gated / dummy rows / out-of-range columns) carrying
+# k = -1. The CWT/STFT bins kernels emit exactly this (full padded
+# width, dummy tail rows), so the XLA pad + row-placement gather the
+# legacy path pays (~4.5 ms at the bench shape, scripts/tpu_calibrate.py
+# `xla_prep`) disappears, and k rides as int16 (-10% input volume).
+# --------------------------------------------------------------------------
+@functools.partial(jax.jit, static_argnames=('nbins', 'offs_key',
+                                             'interpret', 'T'))
+def _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins, offs_key,
+                            interpret, T=2048):
+    na_pad, W = wxr.shape
+    assert na_pad % _GROUP == 0 and W % T == 0, (na_pad, W, T)
+    nbins_pad = _round_up(max(nbins, 8), 8)
+    dt = wxr.dtype
+    if offs_key is None:
+        offs_np = np.zeros((na_pad, 1), np.int32)
+    else:
+        offs_np = np.asarray(offs_key, np.int32).reshape(na_pad, 1)
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
+    bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                      memory_space=pltpu.VMEM)
+    os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
+                      memory_space=pltpu.VMEM)
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(W // T,),
+        in_specs=[bs, bs, bs, cs, cs],
+        out_specs=(os, os),
+        out_shape=(jax.ShapeDtypeStruct((nbins_pad, W), dt),
+                   jax.ShapeDtypeStruct((nbins_pad, W), dt)),
+        scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt),
+                        pltpu.VMEM((nbins_pad, T), dt)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(wxr, wxi, k, const_col.reshape(na_pad, 1), jnp.asarray(offs_np))
+    return out_re, out_im
+
+
+@functools.lru_cache(maxsize=64)
+def _scatter_kv_direct_vjp_fn(nbins, offs_key, interpret, T):
+    """custom_vjp for the direct scatter: forward = zero-prep Pallas;
+    backward = adjoint gather via the XLA formulation on the full padded
+    planes (k integer-valued, no tangent)."""
+    def xla_ref(wxr, wxi, k, const_col):
+        from .ssq_kernels import _scatter_xla
+        c = const_col.reshape(-1, 1)
+        k32 = k.astype(jnp.int32)
+        valid = (k32 >= 0) & (k32 < nbins)
+        out = _scatter_xla(wxr * c, wxi * c, k32, valid, nbins)
+        nbins_pad = _round_up(max(nbins, 8), 8)
+        pad = ((0, nbins_pad - nbins), (0, 0))
+        return jnp.pad(out.re, pad), jnp.pad(out.im, pad)
+
+    @jax.custom_vjp
+    def f(wxr, wxi, k, const_col):
+        return _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins,
+                                       offs_key, interpret, T=T)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(res, g):
+        _, vjp = jax.vjp(xla_ref, *res)
+        return vjp(g)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def scatter_kv_direct(Wx, k, const_pad, nbins, offs=None, interpret=False,
+                      T=2048):
+    """Zero-prep reassignment on pre-layout planes: `Wx` split-complex
+    (na_pad, W) with na_pad % 32 == 0 and W % T == 0, `k` int16/int32
+    bin plane (-1 / out-of-range = invalid), `const_pad` (na_pad,)
+    per-row squeeze constants (0 on dummy rows), `offs` optional static
+    per-row band centers (natural_bin - row; None = zeros, exact for
+    the identity-layout planes the bins kernels emit). Returns the FULL
+    (nbins_pad, W) Tx planes — callers slice [:nbins, off:off+N].
+    Differentiable in Wx (custom VJP: adjoint gather)."""
+    offs_key = (tuple(int(v) for v in np.asarray(offs).reshape(-1))
+                if offs is not None else None)
+    f = _scatter_kv_direct_vjp_fn(int(nbins), offs_key, bool(interpret),
+                                  int(T))
+    outr, outi = f(Wx.re, Wx.im, k, const_pad)
+    return Complex(outr, outi)
+
 
 
 def _make_scatter_kernel(na_pad, nbins_pad, T):

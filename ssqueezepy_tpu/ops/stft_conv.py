@@ -181,7 +181,12 @@ def _sdot(a, b):
             jax.lax.dot_general(a_lo, b_hi, **kw))
 
 
-def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None):
+def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
+                      direct=None):
+    # direct (zero-prep) bins mode: (N_valid, n_live, kdtype) — emit the
+    # k plane scatter-ready (-1 on cols >= N_valid and on the dummy tail
+    # rows i >= n_live that pad the plane to the scatter's 32-row
+    # granularity), cast to kdtype
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
 
@@ -243,29 +248,51 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None):
                 k, valid = _phase_bin_math(Sre, Sim, Dre, Dim,
                                            dict(params), gamma, flipud,
                                            mode, sfs=sfs)
-                outs[2][0, :, sl] = jnp.where(valid, k, -1)
+                if direct is None:
+                    outs[2][0, :, sl] = jnp.where(valid, k, -1)
+                else:
+                    N_valid, n_live, kdtype = direct
+                    lin = (jax.lax.broadcasted_iota(
+                               jnp.int32, k.shape, 0) * f1
+                           + jax.lax.broadcasted_iota(
+                               jnp.int32, k.shape, 1) + h * hk1)
+                    ok = valid & (lin < N_valid) & (i < n_live)
+                    outs[2][0, :, sl] = jnp.where(ok, k, -1) \
+                        .astype(kdtype)
 
     return kernel
 
 
 def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
                      derivative, interpret=False, bin_spec=None,
-                     sfs=None):
+                     sfs=None, direct_T=None, kdtype='int16'):
     """Table-kernel STFT rows from a PRECOMPUTED full-length spectrum:
     `xh` Complex (Np2,), `H*` row tables (n_rows, Np2). Returns
     (Sx[, dSx]) — or (Sx, k) when `bin_spec` is set (phase+bin map
     fused in-kernel; `sfs` per-row numpy Sfs values). Traceable — the
     per-shard entry for row-sharded ssq_stft, and the core of the
-    single-signal jit below."""
+    single-signal jit below.
+
+    `direct_T` (bins mode only): emit the scatter's exact layout —
+    rows padded to a multiple of 32 (dummy rows recompute the last H
+    row, masked k = -1), width padded to a multiple of `direct_T`
+    (cols >= N_out masked k = -1), k cast to `kdtype`. Returns the FULL
+    (na_pad, W) planes for `ops.ssq_pallas.scatter_kv_direct` — callers
+    slice Sx to [:n_rows, :N_out]."""
     from .fft import _dft_matrix_np, _twiddle_np
     f1, f2 = _factorize(Np2)
     rows0 = Np2 // f2
     k2lo = 0
     k2hi = -(-N_out // f1)
+    if direct_T is not None:
+        assert bin_spec is not None
+        while (k2hi * f1) % direct_T:
+            k2hi += 1
     k2span = k2hi - k2lo
     dt_s = str(xh.re.dtype)
     out_w = k2span * f1
     n_rows = Hre.shape[0]
+    na_pad = (-(-n_rows // 32) * 32 if direct_T is not None else n_rows)
 
     wre, wim = _dft_matrix_np(f1, +1, 'float64')
     wre = (wre / Np2).astype(dt_s)
@@ -273,23 +300,31 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     tre, tim = _twiddle_np(Np2, f1, f2, +1, 'float64')
     tre, tim = tre.astype(dt_s), tim.astype(dt_s)
     w2re, w2im = _dft_matrix_np(f2, +1, 'float64')
-    w2re = np.ascontiguousarray(w2re[k2lo:k2hi].T).astype(dt_s)
-    w2im = np.ascontiguousarray(w2im[k2lo:k2hi].T).astype(dt_s)
+    k2rows = np.arange(k2lo, k2hi) % f2    # periodic: direct_T extends
+    w2re = np.ascontiguousarray(w2re[k2rows].T).astype(dt_s)
+    w2im = np.ascontiguousarray(w2im[k2rows].T).astype(dt_s)
 
     const = lambda shape: pl.BlockSpec(
         shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, rows0, f2), lambda i: (i, 0, 0),
-                       memory_space=pltpu.VMEM)
+    # dummy tail rows (direct mode) recompute the last table row — the
+    # kernel masks their k to -1; the tables are never padded
+    rmap = ((lambda i: (i, 0, 0)) if direct_T is None else
+            (lambda i: (jnp.minimum(i, n_rows - 1), 0, 0)))
+    row = pl.BlockSpec((1, rows0, f2), rmap, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0),
                      memory_space=pltpu.SMEM)]
     args = [jnp.asarray(fs).reshape(1, 1).astype(dt_s)]
     if bin_spec is not None:
-        in_specs.append(pl.BlockSpec((n_rows, 1), lambda i: (0, 0),
+        in_specs.append(pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
         # sfs may be a trace-time constant (tuple/numpy) or a traced
         # array (row-sharded ssq_stft passes its shard's block)
-        args.append(jnp.asarray(sfs, dt_s).reshape(n_rows, 1))
+        sfs_a = jnp.asarray(sfs, dt_s).reshape(n_rows, 1)
+        if na_pad != n_rows:
+            sfs_a = jnp.pad(sfs_a, ((0, na_pad - n_rows), (0, 0)),
+                            mode='edge')
+        args.append(sfs_a)
     in_specs += [
         const((rows0, f2)), const((rows0, f2)),
         row, row, row, row,
@@ -298,15 +333,17 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
         const((f2, k2span)), const((f2, k2span)),
     ]
     if bin_spec is not None:
-        out_dts = (dt_s, dt_s, 'int32')
+        out_dts = (dt_s, dt_s,
+                   kdtype if direct_T is not None else 'int32')
     elif derivative:
         out_dts = (dt_s,) * 4
     else:
         out_dts = (dt_s,) * 2
     out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
-    kernel = _make_stft_kernel(rows0, f1, f2, k2span, derivative,
-                               bin_spec=bin_spec)
+    kernel = _make_stft_kernel(
+        rows0, f1, f2, k2span, derivative, bin_spec=bin_spec,
+        direct=(None if direct_T is None else (N_out, n_rows, kdtype)))
     args += [xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
              Hre.reshape(n_rows, rows0, f2),
              Him.reshape(n_rows, rows0, f2),
@@ -319,15 +356,18 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
              jnp.asarray(w2re), jnp.asarray(w2im)]
     outs = pl.pallas_call(
         kernel,
-        grid=(n_rows,),
+        grid=(na_pad,),
         in_specs=in_specs,
         out_specs=(out_spec,) * len(out_dts),
-        out_shape=tuple(jax.ShapeDtypeStruct((n_rows, k2span, f1),
+        out_shape=tuple(jax.ShapeDtypeStruct((na_pad, k2span, f1),
                                              od) for od in out_dts),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    if direct_T is not None:
+        outs = tuple(o.reshape(na_pad, out_w) for o in outs)
+        return Complex(outs[0], outs[1]), outs[2]
     outs = tuple(o.reshape(n_rows, out_w)[:, :N_out] for o in outs)
     Sx = Complex(outs[0], outs[1])
     if bin_spec is not None:
@@ -340,7 +380,7 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
 @functools.lru_cache(maxsize=8)
 def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
                      padlength, interpret=False, bin_spec=None,
-                     sfs_key=None):
+                     sfs_key=None, direct_T=None, kdtype='int16'):
     """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx]) —
     or (Sx, k) when `bin_spec` is set (phase+bin map fused in-kernel;
     `sfs_key` is the per-row Sfs tuple)."""
@@ -352,25 +392,29 @@ def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
         xp = padsignal(xj, padtype, padlength=padlength)
         xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
         return stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
-                                derivative, interpret, bin_spec, sfs_key)
+                                derivative, interpret, bin_spec, sfs_key,
+                                direct_T=direct_T, kdtype=kdtype)
     return jax.jit(run)
 
 
 def stft_conv_bins(xj, fs, n_fft, N_out, win_key, modulated, padtype,
                    padlength, dtype, params, gamma, flipud, sfs_key,
-                   tables, interpret=False):
+                   tables, interpret=False, direct_T=None,
+                   kdtype='int16'):
     """Convolution-form STFT with the phase transform + bin map fused
-    in-kernel: returns (Sx, k) where `k` is the int32 reassignment bin
+    in-kernel: returns (Sx, k) where `k` is the int reassignment bin
     plane (-1 = gamma-gated). The window-derivative rows never leave
     VMEM. `tables` must be the `_device_filterbank(...)` tuple (passed
     as jit arguments — see `stft_conv`); `sfs_key` the per-row Sfs
-    tuple."""
+    tuple. With `direct_T`, (Sx, k) come back in the zero-prep scatter
+    layout (see `stft_pallas_rows`)."""
     Np2 = _next_fft_len(padlength)
     bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
                 params['mode'])
     runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
                               int(N_out), True, padtype, int(padlength),
-                              bool(interpret), bin_spec, tuple(sfs_key))
+                              bool(interpret), bin_spec, tuple(sfs_key),
+                              direct_T, str(kdtype))
     Hre, Him, Hdre, Hdim = tables
     return runner(xj, np.asarray(fs, str(dtype)), Hre, Him, Hdre, Hdim)
 
