@@ -52,6 +52,12 @@ class Config:
     # placement tolerance. Set False to force full-precision bins even
     # when dWx is not returned.
     ssq_lowprec_deriv: bool = True
+    # banded STFT filterbank support: the table kernel contracts only
+    # each row's concentrated spectral band (threshold 1e-8 of the
+    # global |H| max — below the bf16x3 dot rounding; window spectra
+    # like the DPSS default are ~10x narrower than the full stage-1 K).
+    # Set False to force the full-support contraction.
+    stft_band: bool = True
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -74,6 +80,9 @@ def _from_env(cfg):
     lp = os.environ.get('SSQTPU_LOWPREC_DERIV')
     if lp is not None and lp != '':
         cfg.ssq_lowprec_deriv = lp not in ('0', 'false', 'False')
+    sb = os.environ.get('SSQTPU_STFT_BAND')
+    if sb is not None and sb != '':
+        cfg.stft_band = sb not in ('0', 'false', 'False')
     return cfg
 
 
@@ -184,4 +193,4 @@ def exec_config_key():
     the TPU bins pipeline after reconfiguration)."""
     cfg = get_config()
     return (backend(), cfg.use_pallas, cfg.pallas_interpret,
-            cfg.ssq_lowprec_deriv)
+            cfg.ssq_lowprec_deriv, cfg.stft_band)

@@ -77,6 +77,124 @@ def _conv_filterbank(win_key, n_fft, Np2, modulated):
     return H, Hd
 
 
+# banded-support tail-mass budget: per row, the dropped spectrum rows'
+# total |H| L1 mass stays under this fraction of the row's full L1
+# mass, so the truncation error in Sx is bounded by ~1e-7 of the
+# row's reachable magnitude — at the bf16x3 dot rounding, an order
+# below the kernel's own arithmetic error (asserted vs the unbanded
+# kernel in tests/test_stft_band.py). The DPSS default window's
+# sidelobe floor makes the surviving band ~10x narrower than the full
+# stage-1 K at the benchmark shape.
+_BAND_EPS_MASS = 1e-7
+
+
+@functools.lru_cache(maxsize=8)
+def _band_plan(win_key, n_fft, Np2, modulated):
+    """Per-row banded support of the precomputed filterbank.
+
+    Window spectra are concentrated around each row's center bin, so
+    the stage-1 contraction over the (rows0, f2) spectrum block only
+    needs a contiguous band of rows per STFT row. Rows are dropped
+    outside-in (largest offset from the peak first) while their
+    cumulative L1 mass stays under `_BAND_EPS_MASS` of the row total.
+    Returns ``(r0, br)`` — per-row band starts (multiples of 8, indices
+    into the wrap-extended ``(rows0+br, f2)`` spectrum block) and the
+    uniform band row count — or ``None`` when the band would not pay
+    (more than half the full contraction, e.g. slowly-decaying custom
+    windows)."""
+    from .fft import _factorize
+    factors = _factorize(Np2)
+    if len(factors) != 2:
+        return None
+    f2 = factors[1]
+    rows0 = Np2 // f2
+    H, Hd = _conv_filterbank(win_key, n_fft, Np2, modulated)
+    mag = np.abs(H)
+    if Hd is not None:
+        mag = np.maximum(mag, np.abs(Hd))
+    magr = mag.reshape(-1, rows0, f2)
+    msum = magr.sum(-1)                                # (n_rows, rows0)
+    mmax = magr.max(-1)
+    n_rows = msum.shape[0]
+    r0 = np.zeros(n_rows, np.int64)
+    br = 8
+    for k in range(n_rows):
+        # offsets unwrapped around the peak row (bands are contiguous
+        # mod rows0); drop rows outside-in while the dropped mass fits
+        c = int(mmax[k].argmax())
+        off = ((np.arange(rows0) - c + rows0 // 2) % rows0) - rows0 // 2
+        drop_order = np.argsort(-np.abs(off))
+        cum = np.cumsum(msum[k][drop_order])
+        ndrop = int(np.searchsorted(cum, _BAND_EPS_MASS * cum[-1]))
+        keep_off = off[drop_order[ndrop:]]
+        lo = (c + int(keep_off.min())) % rows0
+        lo8 = (lo // 8) * 8                            # sublane-align
+        r0[k] = lo8
+        br = max(br, int(keep_off.max() - keep_off.min()) + 1
+                 + (lo - lo8))
+    br = min(-(-br // 8) * 8, rows0)
+    if br > rows0 // 2:
+        return None
+    return tuple(int(v) for v in r0), int(br)
+
+
+@functools.lru_cache(maxsize=8)
+def _conv_filterbank_packed(win_key, n_fft, Np2, modulated, dtype):
+    """Band-packed filterbank tables + band-shift phase (host numpy).
+
+    Returns ``(Hbre, Hbim, Hdbre, Hdbim, ere, eim)`` with ``Hb`` of
+    shape (n_rows, br, f2) — row k's spectrum rows
+    ``[(r0[k] + r') % rows0 for r' in range(br)]`` — and ``e`` of shape
+    (n_rows, 1, f1) = exp(+2pi i p r0[k] / f1): the stage-1 DFT matrix
+    is r-periodic, so shifting its window by r0 factors into this phase
+    on the surviving output digit p, applied as one broadcast complex
+    multiply on the kernel's output block. One canonical w1[:, :br]
+    then serves every row. Returns ``None`` when banding doesn't pay."""
+    from .fft import _factorize
+    plan = _band_plan(win_key, n_fft, Np2, modulated)
+    if plan is None:
+        return None
+    r0, br = plan
+    f1, f2 = _factorize(Np2)
+    rows0 = Np2 // f2
+    H, Hd = _conv_filterbank(win_key, n_fft, Np2, modulated)
+    n_rows = H.shape[0]
+    r0a = np.asarray(r0, np.int64)
+    take = (r0a[:, None] + np.arange(br)) % rows0      # (n_rows, br)
+    Hr = H.reshape(n_rows, rows0, f2)
+    Hb = np.take_along_axis(Hr, take[:, :, None], axis=1)
+    if Hd is not None:
+        Hdb = np.take_along_axis(Hd.reshape(n_rows, rows0, f2),
+                                 take[:, :, None], axis=1)
+    else:
+        Hdb = Hb
+    e = np.exp((2j * np.pi / f1)
+               * np.outer(r0a, np.arange(f1)))[:, None, :]
+    return (Hb.real.astype(dtype), Hb.imag.astype(dtype),
+            Hdb.real.astype(dtype), Hdb.imag.astype(dtype),
+            e.real.astype(dtype), e.imag.astype(dtype))
+
+
+def _device_filterbank_banded(win_key, n_fft, Np2, modulated, dtype):
+    """Device-side banded tables: ``(tables6, (r0, br))`` or ``None``
+    when banding doesn't pay. ``tables6`` ride as jit ARGUMENTS (same
+    contract as `_device_filterbank`)."""
+    from ..configs import get_config
+    if not get_config().stft_band:
+        return None
+    plan = _band_plan(win_key, n_fft, Np2, modulated)
+    if plan is None:
+        return None
+    key = ('banded', win_key, n_fft, Np2, modulated, dtype)
+    hit = _FB_DEV_CACHE.get(key)
+    if hit is None:
+        packed = _conv_filterbank_packed(win_key, n_fft, Np2, modulated,
+                                         dtype)
+        hit = tuple(jnp.asarray(a) for a in packed)
+        _FB_DEV_CACHE[key] = hit
+    return hit, plan
+
+
 _BANK_CACHE = {}
 
 
@@ -182,22 +300,41 @@ def _sdot(a, b):
 
 
 def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
-                      direct=None):
+                      direct=None, band=None):
     # direct (zero-prep) bins mode: (N_valid, n_live, kdtype) — emit the
     # k plane scatter-ready (-1 on cols >= N_valid and on the dummy tail
     # rows i >= n_live that pad the plane to the scatter's 32-row
     # granularity), cast to kdtype
+    #
+    # band mode: `rows0` IS the band row count br; the H/Hd row blocks
+    # arrive band-packed, the spectrum block is wrap-extended and
+    # dynamically sliced at the row's r0 (SMEM), and the band shift is
+    # undone by one broadcast complex multiply with the per-row phase
+    # e[p] = exp(+2pi i p r0 / f1) on the output block.
     nh = 2 if f1 % 16 == 0 else 1
     hk1 = f1 // nh
 
     def kernel(fs_r, *refs):
-        if bin_spec is None:
-            (xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
-             wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs) = refs
+        idx = 0
+        if bin_spec is not None:
+            sfs_r = refs[0]
+            idx = 1
+        if band is not None:
+            r0_r = refs[idx]
+            idx += 1
+        (xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
+         wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r) = refs[idx:idx + 12]
+        idx += 12
+        if band is not None:
+            ere_r, eim_r = refs[idx:idx + 2]
+            idx += 2
+        outs = refs[idx:]
+        if band is None:
+            xre, xim = xhre_r[:], xhim_r[:]            # (rows0, f2)
         else:
-            (sfs_r, xhre_r, xhim_r, hre_r, him_r, hdre_r, hdim_r,
-             wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r, *outs) = refs
-        xre, xim = xhre_r[:], xhim_r[:]                # (rows0, f2)
+            r0v = r0_r[pl.program_id(0), 0]
+            xre = xhre_r[pl.ds(r0v, rows0), :]         # (br, f2)
+            xim = xhim_r[pl.ds(r0v, rows0), :]
         w2re, w2im = w2re_r[:], w2im_r[:]
 
         def half(Pre, Pim, scale, h):
@@ -210,7 +347,13 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
             Atim = Are * tim + Aim * tre
             Ere = _sdot(Atre, w2re) - _sdot(Atim, w2im)
             Eim = _sdot(Atre, w2im) + _sdot(Atim, w2re)
-            return Ere.T * scale, Eim.T * scale, sl
+            Sre, Sim = Ere.T * scale, Eim.T * scale
+            if band is not None:
+                ere = ere_r[0][:, sl]                  # (1, hk1)
+                eim = eim_r[0][:, sl]
+                Sre, Sim = (Sre * ere - Sim * eim,
+                            Sre * eim + Sim * ere)
+            return Sre, Sim, sl
 
         hre, him = hre_r[0], him_r[0]                  # (rows0, f2)
         Pre = hre * xre - him * xim
@@ -265,7 +408,8 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
 
 def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
                      derivative, interpret=False, bin_spec=None,
-                     sfs=None, direct_T=None, kdtype='int16'):
+                     sfs=None, direct_T=None, kdtype='int16',
+                     band=None, etables=None):
     """Table-kernel STFT rows from a PRECOMPUTED full-length spectrum:
     `xh` Complex (Np2,), `H*` row tables (n_rows, Np2). Returns
     (Sx[, dSx]) — or (Sx, k) when `bin_spec` is set (phase+bin map
@@ -278,10 +422,17 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     row, masked k = -1), width padded to a multiple of `direct_T`
     (cols >= N_out masked k = -1), k cast to `kdtype`. Returns the FULL
     (na_pad, W) planes for `ops.ssq_pallas.scatter_kv_direct` — callers
-    slice Sx to [:n_rows, :N_out]."""
+    slice Sx to [:n_rows, :N_out].
+
+    `band` = (r0, br) from `_band_plan` (with `etables` = (ere, eim)
+    phase tables): the H/Hd tables must then be the BAND-PACKED
+    (n_rows, br, f2) arrays from `_conv_filterbank_packed`; stage 1
+    contracts only br spectrum rows per STFT row (~10x less table
+    traffic and stage-1 compute at the benchmark shape)."""
     from .fft import _dft_matrix_np, _twiddle_np
     f1, f2 = _factorize(Np2)
     rows0 = Np2 // f2
+    kb = rows0 if band is None else int(band[1])
     k2lo = 0
     k2hi = -(-N_out // f1)
     if direct_T is not None:
@@ -295,8 +446,10 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     na_pad = (-(-n_rows // 32) * 32 if direct_T is not None else n_rows)
 
     wre, wim = _dft_matrix_np(f1, +1, 'float64')
-    wre = (wre / Np2).astype(dt_s)
-    wim = (wim / Np2).astype(dt_s)
+    # banded: w1 is r-periodic, so one canonical [:, :br] slice serves
+    # every row's shifted band (the shift phase rides in `etables`)
+    wre = (wre[:, :kb] / Np2).astype(dt_s)
+    wim = (wim[:, :kb] / Np2).astype(dt_s)
     tre, tim = _twiddle_np(Np2, f1, f2, +1, 'float64')
     tre, tim = tre.astype(dt_s), tim.astype(dt_s)
     w2re, w2im = _dft_matrix_np(f2, +1, 'float64')
@@ -310,7 +463,7 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     # kernel masks their k to -1; the tables are never padded
     rmap = ((lambda i: (i, 0, 0)) if direct_T is None else
             (lambda i: (jnp.minimum(i, n_rows - 1), 0, 0)))
-    row = pl.BlockSpec((1, rows0, f2), rmap, memory_space=pltpu.VMEM)
+    row = pl.BlockSpec((1, kb, f2), rmap, memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1), lambda i: (0, 0),
                      memory_space=pltpu.SMEM)]
@@ -325,10 +478,20 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
             sfs_a = jnp.pad(sfs_a, ((0, na_pad - n_rows), (0, 0)),
                             mode='edge')
         args.append(sfs_a)
+    if band is not None:
+        in_specs.append(pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        r0_a = jnp.asarray(np.asarray(band[0], np.int32)
+                           .reshape(n_rows, 1))
+        if na_pad != n_rows:
+            r0_a = jnp.pad(r0_a, ((0, na_pad - n_rows), (0, 0)),
+                           mode='edge')
+        args.append(r0_a)
+    xh_rows = rows0 + (0 if band is None else kb)
     in_specs += [
-        const((rows0, f2)), const((rows0, f2)),
+        const((xh_rows, f2)), const((xh_rows, f2)),
         row, row, row, row,
-        const((f1, rows0)), const((f1, rows0)),
+        const((f1, kb)), const((f1, kb)),
         const((f1, f2)), const((f1, f2)),
         const((f2, k2span)), const((f2, k2span)),
     ]
@@ -342,18 +505,30 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     kernel = _make_stft_kernel(
-        rows0, f1, f2, k2span, derivative, bin_spec=bin_spec,
-        direct=(None if direct_T is None else (N_out, n_rows, kdtype)))
-    args += [xh.re.reshape(rows0, f2), xh.im.reshape(rows0, f2),
-             Hre.reshape(n_rows, rows0, f2),
-             Him.reshape(n_rows, rows0, f2),
-             Hdre.reshape(n_rows, rows0, f2) if derivative else
-             Hre.reshape(n_rows, rows0, f2),
-             Hdim.reshape(n_rows, rows0, f2) if derivative else
-             Him.reshape(n_rows, rows0, f2),
+        kb, f1, f2, k2span, derivative, bin_spec=bin_spec,
+        direct=(None if direct_T is None else (N_out, n_rows, kdtype)),
+        band=(None if band is None else int(band[1])))
+    xre_b = xh.re.reshape(rows0, f2)
+    xim_b = xh.im.reshape(rows0, f2)
+    if band is not None:
+        # wrap-extend the spectrum block so no band straddles row 0
+        xre_b = jnp.concatenate([xre_b, xre_b[:kb]], 0)
+        xim_b = jnp.concatenate([xim_b, xim_b[:kb]], 0)
+    args += [xre_b, xim_b,
+             Hre.reshape(n_rows, kb, f2),
+             Him.reshape(n_rows, kb, f2),
+             Hdre.reshape(n_rows, kb, f2) if derivative else
+             Hre.reshape(n_rows, kb, f2),
+             Hdim.reshape(n_rows, kb, f2) if derivative else
+             Him.reshape(n_rows, kb, f2),
              jnp.asarray(wre), jnp.asarray(wim),
              jnp.asarray(tre), jnp.asarray(tim),
              jnp.asarray(w2re), jnp.asarray(w2im)]
+    if band is not None:
+        erow = pl.BlockSpec((1, 1, f1), rmap, memory_space=pltpu.VMEM)
+        in_specs += [erow, erow]
+        args += [etables[0].reshape(n_rows, 1, f1),
+                 etables[1].reshape(n_rows, 1, f1)]
     outs = pl.pallas_call(
         kernel,
         grid=(na_pad,),
@@ -380,43 +555,46 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
 @functools.lru_cache(maxsize=8)
 def _stft_pallas_jit(shape, dtype, Np2, N_out, derivative, padtype,
                      padlength, interpret=False, bin_spec=None,
-                     sfs_key=None, direct_T=None, kdtype='int16'):
+                     sfs_key=None, direct_T=None, kdtype='int16',
+                     band=None):
     """Cached jit: raw 1D signal + filterbank tables -> (Sx[, dSx]) —
     or (Sx, k) when `bin_spec` is set (phase+bin map fused in-kernel;
-    `sfs_key` is the per-row Sfs tuple)."""
+    `sfs_key` is the per-row Sfs tuple). With `band`, the tables args
+    are the band-packed 6-tuple (H*4, ere, eim)."""
     from .pad import padsignal
     dt_s = str(dtype)
 
-    def run(xj, fs, Hre, Him, Hdre, Hdim):
+    def run(xj, fs, Hre, Him, Hdre, Hdim, *etabs):
         xj = xj.astype(dt_s)
         xp = padsignal(xj, padtype, padlength=padlength)
         xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2, imag_zero=True)
         return stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
                                 derivative, interpret, bin_spec, sfs_key,
-                                direct_T=direct_T, kdtype=kdtype)
+                                direct_T=direct_T, kdtype=kdtype,
+                                band=band, etables=etabs or None)
     return jax.jit(run)
 
 
 def stft_conv_bins(xj, fs, n_fft, N_out, win_key, modulated, padtype,
                    padlength, dtype, params, gamma, flipud, sfs_key,
                    tables, interpret=False, direct_T=None,
-                   kdtype='int16'):
+                   kdtype='int16', band=None):
     """Convolution-form STFT with the phase transform + bin map fused
     in-kernel: returns (Sx, k) where `k` is the int reassignment bin
     plane (-1 = gamma-gated). The window-derivative rows never leave
     VMEM. `tables` must be the `_device_filterbank(...)` tuple (passed
-    as jit arguments — see `stft_conv`); `sfs_key` the per-row Sfs
-    tuple. With `direct_T`, (Sx, k) come back in the zero-prep scatter
-    layout (see `stft_pallas_rows`)."""
+    as jit arguments — see `stft_conv`) — or, with `band` set, the
+    banded 6-tuple from `_device_filterbank_banded`; `sfs_key` the
+    per-row Sfs tuple. With `direct_T`, (Sx, k) come back in the
+    zero-prep scatter layout (see `stft_pallas_rows`)."""
     Np2 = _next_fft_len(padlength)
     bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
                 params['mode'])
     runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
                               int(N_out), True, padtype, int(padlength),
                               bool(interpret), bin_spec, tuple(sfs_key),
-                              direct_T, str(kdtype))
-    Hre, Him, Hdre, Hdim = tables
-    return runner(xj, np.asarray(fs, str(dtype)), Hre, Him, Hdre, Hdim)
+                              direct_T, str(kdtype), band)
+    return runner(xj, np.asarray(fs, str(dtype)), *tables)
 
 
 def _stft_pallas_applicable(Np2, shape):
@@ -463,6 +641,19 @@ def stft_conv(xj, fs, n_fft, N_out, win_key, modulated, derivative,
     which stalls compilation for minutes at large N)."""
     Np = padlength
     Np2 = _next_fft_len(Np)
+    use_pallas = _stft_pallas_applicable(Np2, tuple(xj.shape)) or interpret
+    if use_pallas and tables is None:
+        # banded tables when the window's spectral support pays for it
+        banded = _device_filterbank_banded(win_key, int(n_fft), int(Np2),
+                                           bool(modulated), str(dtype))
+        if banded is not None:
+            tab6, band = banded
+            runner = _stft_pallas_jit(tuple(xj.shape), str(dtype),
+                                      int(Np2), int(N_out),
+                                      bool(derivative), padtype,
+                                      int(padlength), bool(interpret),
+                                      band=band)
+            return runner(xj, np.asarray(fs, str(dtype)), *tab6)
     if tables is not None:
         Hre, Him, Hdre, Hdim = tables
     else:
@@ -470,7 +661,7 @@ def stft_conv(xj, fs, n_fft, N_out, win_key, modulated, derivative,
                                                   int(Np2),
                                                   bool(modulated),
                                                   str(dtype))
-    if _stft_pallas_applicable(Np2, tuple(xj.shape)) or interpret:
+    if use_pallas:
         runner = _stft_pallas_jit(tuple(xj.shape), str(dtype), int(Np2),
                                   int(N_out), bool(derivative), padtype,
                                   int(padlength), bool(interpret))
