@@ -74,7 +74,7 @@ def main():
     pm = StreamingMultirateSSQCWT(chunk, ('gmw', {'dtype': 'float32'}),
                                   scales=wide, nv=None, N=16 * chunk)
     print("multirate octaves max:", int(pm.octaves.max()),
-          "analytic compute_ratio: %.3f" % pm.compute_ratio(), flush=True)
+          "analytic compute_ratio: %.3f" % pm.compute_ratio, flush=True)
     run(pm, dev_chunks, "ssq_cwt stream multirate (181 wide scales)")
 
 

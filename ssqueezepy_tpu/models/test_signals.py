@@ -1,18 +1,28 @@
 # -*- coding: utf-8 -*-
-"""Test-signal suite: signals of varying time-frequency characteristics.
+"""Test-signal catalog: tones, chirps (linear / exponential /
+hyperbolic), composites (jumps, packed bands, polynomial FM), and
+amplitude modulators, with anti-alias N estimation, noise injection,
+and visual demo / transform-comparison drivers.
 
-Behavioral reference: `/root/reference/ssqueezepy/_test_signals.py`
-(`TestSignals` :80, generators :165-460, `make_signals` :539-586,
-anti-aliasing minimal-N estimator :645-661, viz drivers :747-960).
+Behavioral parity with the reference suite
+(`/root/reference/ssqueezepy/_test_signals.py`: class :80, generators
+:165-460, `make_signals` :539-586, minimal-N estimator :645-661, viz
+drivers :747-960) — the signal FORMULAS and the public surface match;
+the organization here is this codebase's own: frequency sweeps live in
+a module-level phase-law registry shared by the chirp methods, the
+parallel-chirp and AM families are parameterized wrappers over it, and
+the `make_signals` name grammar (``#``-reflection, ``carrier:am``) is
+parsed by one `_parse_name` helper instead of ad-hoc string splits.
 Pure numpy — signal generation is host-side by design.
 """
-import inspect
 import numpy as np
 import scipy.signal as sig
 
 from ..utils.common import WARN, pi
 
 __all__ = ['TestSignals']
+
+TAU = 2 * pi
 
 DEFAULT_N = 512
 DEFAULT_ARGS = {
@@ -36,14 +46,73 @@ DEFAULT_SNR = None
 DEFAULT_SEED = None
 
 
-def _t(tmin, tmax, N, endpoint=False):
+# ---------------------------------------------------------------------------
+# phase laws: closed-form sweeps fmin -> fmax over [tmin, tmax].
+# Each law returns (phase(t), angular_frequency(t)) — phase referenced to
+# phi(tmin) = 0 so every chirp starts at zero phase.
+# ---------------------------------------------------------------------------
+def _law_linear(t, tmin, tmax, fmin, fmax):
+    """f(t) = a t + b."""
+    slope = (fmax - fmin) / (tmax - tmin)
+    f0 = (fmin * tmax - fmax * tmin) / (tmax - tmin)
+    phi = TAU * (slope / 2 * (t**2 - tmin**2) + f0 * (t - tmin))
+    return phi, TAU * (slope * t + f0)
+
+
+def _law_exp(t, tmin, tmax, fmin, fmax):
+    """f(t) = a b^t (geometric sweep)."""
+    a = (fmin**tmax / fmax**tmin) ** (1. / (tmax - tmin))
+    b = (fmax / a) ** (1. / tmax)
+    phi = TAU * (a / np.log(b)) * (b**t - b**tmin)
+    return phi, TAU * a * b**t
+
+
+def _law_exp_pc(t, tmin, tmax, fmin, fmax):
+    """f(t) = A e^t + B ('exponential plus constant')."""
+    span = np.exp(tmax) - np.exp(tmin)
+    A = (fmax - fmin) / span
+    B = (fmin * np.exp(tmax) - fmax * np.exp(tmin)) / span
+    phi = TAU * (A * (np.exp(t) - np.exp(tmin)) + B * (t - tmin))
+    return phi, TAU * (A * np.exp(t) + B)
+
+
+def _law_hyperbolic(t, tmin, tmax, fmin, fmax):
+    """f(t) = A / (B - t)^2, the unique such curve through
+    (tmin, fmin) and (tmax, fmax)."""
+    u, v = fmin, fmax
+    dt2 = (tmin - tmax) ** 2
+    root = np.sqrt(u**3 * v**3 * dt2**2)
+    A = (2 * root + u**2 * v * dt2 + u * v**2 * dt2) / (u - v)**2
+    B = ((root + u**2 * v * tmin * (tmin - tmax)
+          + u * v**2 * tmax * (tmax - tmin))
+         / (u * v * (u - v) * (tmin - tmax)))
+    phi = TAU * A * (1. / (B - t) + 1. / (tmin - B))
+    return phi, TAU * A / (B - t)**2
+
+
+_PHASE_LAWS = {'lchirp': _law_linear, 'echirp': _law_exp,
+               'echirp_pc': _law_exp_pc, 'hchirp': _law_hyperbolic}
+
+# parallel-pair geometry per chirp family: how the second sweep derives
+# from the first (up) and the first from the Nyquist cap (down)
+_PAR_RULES = {
+    'lchirp': dict(up=lambda f, N: f + N / 10, down=lambda f, N: f - N / 10,
+                   fmin_key='lchirp'),
+    'echirp': dict(up=lambda f, N: f * 1.5, down=lambda f, N: f / 1.5,
+                   fmin_key='echirp'),
+    'hchirp': dict(up=lambda f, N: f * 3, down=lambda f, N: f / 3,
+                   fmin_key='hchirp'),
+}
+
+
+def _timegrid(tmin, tmax, N, endpoint=False):
     return np.linspace(tmin, tmax, N, endpoint=endpoint)
 
 
 class TestSignals():
-    """Generator/demo suite for time-frequency test signals. See the
-    module docstring and reference docs for the catalog; API-parity with
-    the reference class."""
+    """Named test-signal generator + demo suite (API-parity with the
+    reference `TestSignals`). `make_signals` is the batch driver; every
+    catalog entry is also an individual method returning ``(x, t)``."""
     SUPPORTED = ['cosine', 'sine', 'lchirp', 'echirp', 'echirp_pc',
                  'hchirp', 'par-lchirp', 'par-echirp', 'par-hchirp',
                  'jumps', 'packed', 'packed-poly', 'poly-cubic',
@@ -58,361 +127,327 @@ class TestSignals():
     def __init__(self, N=None, snr=None, default_args=None, default_tkw=None,
                  warn_alias=True, seed=None):
         self.N = N or DEFAULT_N
-        self.snr = snr if snr is not None else DEFAULT_SNR
-        self.default_args = dict(default_args or {})
-        self.default_tkw = dict(default_tkw or {})
+        self.snr = DEFAULT_SNR if snr is None else snr
         self.warn_alias = warn_alias
-        self.seed = seed if seed is not None else DEFAULT_SEED
-        for k, v in DEFAULT_ARGS.items():
-            self.default_args.setdefault(k, v)
-        for k, v in DEFAULT_TKW.items():
-            self.default_tkw.setdefault(k, v)
+        self.seed = DEFAULT_SEED if seed is None else seed
+        self.default_args = {**DEFAULT_ARGS, **dict(default_args or {})}
+        self.default_tkw = {**DEFAULT_TKW, **dict(default_tkw or {})}
 
-    # ---- helpers ----------------------------------------------------------
-    def _maybe_warn_alias(self, phi, tol=.02):
-        if self.warn_alias:
-            fmax = np.diff(phi).max()
-            if (fmax - np.pi) > tol:
-                WARN("`%s` has aliased w/ max(diff(phi))=%.6f>%.6f" % (
-                    inspect.stack()[2][3], fmax, pi))
+    # ---- shared plumbing --------------------------------------------------
+    def _alias_check(self, name, phi, tol=.02):
+        """Warn when the phase increment exceeds pi (Nyquist) anywhere."""
+        if not self.warn_alias:
+            return
+        step = np.diff(phi).max()
+        if step - pi > tol:
+            WARN("signal '%s' aliases: max phase step %.6f > pi=%.6f"
+                 % (name, step, pi))
 
-    def _process_params(self, N, tkw, fn=None, fmin=None, fmax=None):
-        tkw = tkw.copy()
-        for k in self.default_tkw:
-            tkw[k] = tkw.get(k, self.default_tkw[k])
-        if N is None:
-            tmin, tmax = tkw['tmin'], tkw['tmax']
-            if any(v is None for v in (tmin, tmax, fmin, fmax)):
-                N = self.N
-            else:
-                f_fn = lambda *a, **kw: fn(*a, **kw, get_w=True)[1]
-                N = self._est_N_nonalias(f_fn, tmin, tmax, fmin, fmax)
-        if fmax is None:
-            fmax = N // 2
-        t = _t(**tkw, N=N)
-        tmin, tmax = tkw['tmin'], tkw['tmax']
-        return ((t, tmin, tmax, fmax) if fn else (t, tmin, tmax))
+    def _resolve_tkw(self, tkw):
+        merged = dict(self.default_tkw)
+        merged.update(tkw)
+        return merged
 
-    def _est_N_nonalias(self, f_fn, tmin, tmax, fmin, fmax):
-        """Smallest N avoiding aliasing for the given sweep
-        (reference _test_signals.py:645-661)."""
-        t = np.linspace(tmin, tmax, 50000, endpoint=True)
-        fmax_fn = np.max(f_fn(t, tmin, tmax, fmin, fmax))
-        return int(np.ceil(1 + fmax_fn * (tmax - tmin) / pi))
+    def _resolve_N(self, N, law, tkw, fmin, fmax):
+        """Given sweep bounds, pick the smallest alias-free N; fall back
+        to the instance default when any bound is open."""
+        if N is not None:
+            return N
+        if law is None or None in (tkw['tmin'], tkw['tmax'], fmin, fmax):
+            return self.N
+        w_of = lambda *a, **kw: law(*a, **kw)[1]
+        return self._est_N_nonalias(w_of, tkw['tmin'], tkw['tmax'],
+                                    fmin, fmax)
 
-    # ---- basic tones ------------------------------------------------------
+    @staticmethod
+    def _est_N_nonalias(f_fn, tmin, tmax, fmin, fmax):
+        """Smallest N with max instantaneous (angular) frequency below
+        Nyquist for the sweep (reference _test_signals.py:645-661)."""
+        dense = np.linspace(tmin, tmax, 50000, endpoint=True)
+        w_peak = np.max(f_fn(dense, tmin, tmax, fmin, fmax))
+        return int(np.ceil(1 + w_peak * (tmax - tmin) / pi))
+
+    # ---- tones --------------------------------------------------------------
+    def _tone(self, trig, name, N, f, phi0, tkw):
+        tkw.setdefault('endpoint', False)
+        tkw = self._resolve_tkw(tkw)
+        N = N or self.N
+        t = _timegrid(tkw['tmin'], tkw['tmax'], N, tkw['endpoint'])
+        phi = TAU * f * t + phi0
+        self._alias_check(name, phi)
+        return trig(phi), t
+
     def sine(self, N=None, f=1, phi0=0, **tkw):
-        tkw['endpoint'] = tkw.get('endpoint', False)
-        t, *_ = self._process_params(N, tkw)
-        phi = 2 * pi * f * t + phi0
-        self._maybe_warn_alias(phi)
-        return np.sin(phi), t
+        return self._tone(np.sin, 'sine', N, f, phi0, tkw)
 
     def cosine(self, N=None, f=1, phi0=0, **tkw):
-        tkw['endpoint'] = tkw.get('endpoint', False)
-        t, *_ = self._process_params(N, tkw)
-        phi = 2 * pi * f * t + phi0
-        self._maybe_warn_alias(phi)
-        return np.cos(phi), t
+        return self._tone(np.cos, 'cosine', N, f, phi0, tkw)
 
-    # ---- chirps -----------------------------------------------------------
-    def _generate(self, fn, N, fmin, fmax, **tkw):
-        t, tmin, tmax, fmax = self._process_params(N, tkw, fn, fmin, fmax)
-        phi = fn(t, tmin, tmax, fmin, fmax)
-        self._maybe_warn_alias(phi)
+    # ---- chirps (phase-law registry) ----------------------------------------
+    def _chirp(self, name, N, fmin, fmax, tkw):
+        law = _PHASE_LAWS[name]
+        tkw = self._resolve_tkw(tkw)
+        N = self._resolve_N(N, law, tkw, fmin, fmax)
+        if fmax is None:
+            fmax = N // 2
+        t = _timegrid(tkw['tmin'], tkw['tmax'], N, tkw['endpoint'])
+        phi, _ = law(t, tkw['tmin'], tkw['tmax'], fmin, fmax)
+        self._alias_check(name, phi)
         return np.cos(phi), t
 
     def lchirp(self, N=None, fmin=0, fmax=None, **tkw):
-        """f(t) = a*t + b (linear sweep fmin -> fmax)."""
-        return self._generate(self._lchirp_fn, N, fmin, fmax, **tkw)
-
-    @staticmethod
-    def _lchirp_fn(t, tmin, tmax, fmin, fmax, get_w=False):
-        a = (fmin - fmax) / (tmin - tmax)
-        b = (fmin * tmax - fmax * tmin) / (tmax - tmin)
-        phi = 2 * pi * ((a / 2) * (t ** 2 - tmin ** 2) + b * (t - tmin))
-        if get_w:
-            return phi, 2 * pi * (a * t + b)
-        return phi
+        """Linear sweep fmin -> fmax."""
+        return self._chirp('lchirp', N, fmin, fmax, tkw)
 
     def echirp(self, N=None, fmin=1, fmax=None, **tkw):
-        """f(t) = a*b^t (geometric sweep)."""
-        return self._generate(self._echirp_fn, N, fmin, fmax, **tkw)
+        """Geometric (exponential) sweep."""
+        return self._chirp('echirp', N, fmin, fmax, tkw)
+
+    def echirp_pc(self, N=None, fmin=0, fmax=None, **tkw):
+        """Exponential-plus-constant sweep."""
+        return self._chirp('echirp_pc', N, fmin, fmax, tkw)
+
+    def hchirp(self, N=None, fmin=.1, fmax=None, **tkw):
+        """Hyperbolic sweep."""
+        return self._chirp('hchirp', N, fmin, fmax, tkw)
+
+    # legacy static phase functions (kept for callers that sample the
+    # laws directly, e.g. the anti-alias estimator in tests and `am_exp`)
+    @staticmethod
+    def _lchirp_fn(t, tmin, tmax, fmin, fmax, get_w=False):
+        phi, w = _law_linear(t, tmin, tmax, fmin, fmax)
+        return (phi, w) if get_w else phi
 
     @staticmethod
     def _echirp_fn(t, tmin, tmax, fmin, fmax, get_w=False):
-        a = (fmin ** tmax / fmax ** tmin) ** (1 / (tmax - tmin))
-        b = fmax ** (1 / tmax) * (1 / a) ** (1 / tmax)
-        phi = 2 * pi * (a / np.log(b)) * (b ** t - b ** tmin)
-        if get_w:
-            return phi, 2 * pi * a * b ** t
-        return phi
-
-    def echirp_pc(self, N=None, fmin=0, fmax=None, **tkw):
-        """f(t) = A*exp(t) + B ('echirp plus constant')."""
-        return self._generate(self._echirp_pc_fn, N, fmin, fmax, **tkw)
+        phi, w = _law_exp(t, tmin, tmax, fmin, fmax)
+        return (phi, w) if get_w else phi
 
     @staticmethod
     def _echirp_pc_fn(t, tmin, tmax, fmin, fmax, get_w=False):
-        a, b, c, d = fmin, fmax, tmin, tmax
-        A = (b - a) / (np.exp(d) - np.exp(c))
-        B = (a * np.exp(d) - b * np.exp(c)) / (np.exp(d) - np.exp(c))
-        phi = 2 * pi * (A * (np.exp(t) - np.exp(tmin)) + B * (t - tmin))
-        if get_w:
-            return phi, 2 * pi * (A * np.exp(t) + B)
-        return phi
-
-    def hchirp(self, N=None, fmin=.1, fmax=None, **tkw):
-        """f(t) = A / (B - t)^2 (hyperbolic sweep)."""
-        return self._generate(self._hchirp_fn, N, fmin, fmax, **tkw)
+        phi, w = _law_exp_pc(t, tmin, tmax, fmin, fmax)
+        return (phi, w) if get_w else phi
 
     @staticmethod
     def _hchirp_fn(t, tmin, tmax, fmin, fmax, get_w=False):
-        a, b, c, d = fmin, fmax, tmin, tmax
-        AN = (2 * np.sqrt(a ** 3 * b ** 3 * (c - d) ** 4)
-              + a ** 2 * b * (c - d) ** 2 + a * b ** 2 * (c - d) ** 2)
-        AD = (a - b) ** 2
-        BN = (np.sqrt(a ** 3 * b ** 3 * (c - d) ** 4)
-              + a ** 2 * b * c * (c - d) + a * b ** 2 * d * (d - c))
-        BD = a * b * (a - b) * (c - d)
-        A, B = AN / AD, BN / BD
-        phi = 2 * pi * A * (1 / (B - t) + 1 / (tmin - B))
-        if get_w:
-            return phi, 2 * pi * A / (B - t) ** 2
-        return phi
+        phi, w = _law_hyperbolic(t, tmin, tmax, fmin, fmax)
+        return (phi, w) if get_w else phi
 
-    # ---- parallel chirp pairs ---------------------------------------------
-    def _par(self, gen, N, fmin1, fmax1, fmin2, fmax2, dflt_min, combine,
-             limit, tkw):
+    # ---- parallel chirp pairs -----------------------------------------------
+    def _par_chirp(self, family, N, fmin1, fmax1, fmin2, fmax2, tkw):
+        rule = _PAR_RULES[family]
         N = N or self.N
         if fmin1 is None:
-            fmin1 = dflt_min
+            fmin1 = self.default_args[rule['fmin_key']].get(
+                'fmin', 1 if family != 'lchirp' else 0)
         if fmin2 is None:
-            fmin2 = combine(fmin1)
-        if fmax2 is None or fmax1 is None:
-            if fmax1 is None:
-                fmax2 = N / 2
-                fmax1 = limit(fmax2)
-            else:
-                fmax2 = min(N / 2, combine(fmax1))
+            fmin2 = rule['up'](fmin1, N)
+        if fmax1 is None:
+            fmax2 = N / 2
+            fmax1 = rule['down'](fmax2, N)
+        elif fmax2 is None:
+            fmax2 = min(N / 2, rule['up'](fmax1, N))
+        gen = getattr(self, family)
         x1, t = gen(N, fmin1, fmax1, **tkw)
         x2, _ = gen(N, fmin2, fmax2, **tkw)
         return x1 + x2, t
 
     def par_lchirp(self, N=None, fmin1=None, fmax1=None, fmin2=None,
                    fmax2=None, **tkw):
-        N = N or self.N
-        fdiff = N / 10
-        return self._par(self.lchirp, N, fmin1, fmax1, fmin2, fmax2,
-                         self.default_args['lchirp'].get('fmin', 0),
-                         lambda f: f + fdiff, lambda f: f - fdiff, tkw)
+        return self._par_chirp('lchirp', N, fmin1, fmax1, fmin2, fmax2,
+                               tkw)
 
     def par_echirp(self, N=None, fmin1=None, fmax1=None, fmin2=None,
                    fmax2=None, **tkw):
-        N = N or self.N
-        r = 1.5
-        return self._par(self.echirp, N, fmin1, fmax1, fmin2, fmax2,
-                         self.default_args['echirp'].get('fmin', 1),
-                         lambda f: f * r, lambda f: f / r, tkw)
+        return self._par_chirp('echirp', N, fmin1, fmax1, fmin2, fmax2,
+                               tkw)
 
     def par_hchirp(self, N=None, fmin1=None, fmax1=None, fmin2=None,
                    fmax2=None, **tkw):
-        N = N or self.N
-        r = 3
-        return self._par(self.hchirp, N, fmin1, fmax1, fmin2, fmax2,
-                         self.default_args['hchirp'].get('fmin', 1),
-                         lambda f: f * r, lambda f: f / r, tkw)
+        return self._par_chirp('hchirp', N, fmin1, fmax1, fmin2, fmax2,
+                               tkw)
 
-    # ---- amplitude modulators ---------------------------------------------
+    # ---- amplitude modulators -------------------------------------------
+    def _am_from_tone(self, trig_method, N, f, amin, amax, phi, tkw):
+        wave, t = trig_method(N or self.N, f, phi, **tkw)
+        unit = .5 * (wave + 1)              # [-1, 1] -> [0, 1]
+        return amin + (amax - amin) * unit, t
+
     def am_sine(self, N=None, f=1, amin=0, amax=1, phi=0, **tkw):
-        N = N or self.N
-        _A, t = self.sine(N, f, phi, **tkw)
-        _A = (_A + 1) / 2
-        return amin + (amax - amin) * _A, t
+        return self._am_from_tone(self.sine, N, f, amin, amax, phi, tkw)
 
     def am_cosine(self, N=None, f=1, amin=0, amax=1, phi=0, **tkw):
-        N = N or self.N
-        _A, t = self.cosine(N, f, phi, **tkw)
-        _A = (_A + 1) / 2
-        return amin + (amax - amin) * _A, t
+        return self._am_from_tone(self.cosine, N, f, amin, amax, phi, tkw)
 
     def am_exp(self, N=None, amin=.1, amax=1, **tkw):
+        """Exponential ramp amin -> amax (the echirp law's frequency
+        curve reused as an envelope)."""
         N = N or self.N
-        t, tmin, tmax = self._process_params(N, tkw)
-        _A = self._echirp_fn(t, tmin, tmax, amin, amax, get_w=True)[1]
-        return _A / (2 * pi), t
+        tkw = self._resolve_tkw(tkw)
+        t = _timegrid(tkw['tmin'], tkw['tmax'], N, tkw['endpoint'])
+        _, w = _law_exp(t, tkw['tmin'], tkw['tmax'], amin, amax)
+        return w / TAU, t
 
     def am_gauss(self, N=None, amin=.1, amax=1, **tkw):
         N = N or self.N
-        t = _t(-1, 1, N)
-        _A = np.exp(-((t - t.mean()) ** 2 * 5))
-        return amin + (amax - amin) * _A, t
+        t = _timegrid(-1, 1, N)
+        bell = np.exp(-5 * (t - t.mean())**2)
+        return amin + (amax - amin) * bell, t
 
-    # ---- composite signals ------------------------------------------------
+    # ---- composites -------------------------------------------------------
     def jumps(self, N=None, freqs=None, **tkw):
-        """Instant frequency transitions."""
+        """Piecewise-constant frequency: len(freqs) equal segments."""
         N = N or self.N
-        t, tmin, tmax = self._process_params(N, tkw)
-        n_freqs = len(freqs) if freqs is not None else 4
-        M = N // n_freqs
+        tkw = self._resolve_tkw(tkw)
+        n_seg = 4 if freqs is None else len(freqs)
+        M = N // n_seg
         if freqs is None:
             freqs = [1, M / 4, M / 2, M / 16]
-        tdiff = tmax - tmin
-        endpoint = tkw.get('endpoint',
-                           self.default_tkw.get('endpoint', False))
-        t_all = _t(tmin, tdiff * len(freqs), M * len(freqs), endpoint)
-        segs = []
-        for i, f in enumerate(freqs):
-            ti = t_all[i * M: (i + 1) * M]
-            segs.append(np.cos(2 * pi * f * ti))
-        return np.hstack(segs), t_all
+        span = tkw['tmax'] - tkw['tmin']
+        t_all = _timegrid(tkw['tmin'], span * len(freqs), M * len(freqs),
+                          tkw['endpoint'])
+        x = np.concatenate([np.cos(TAU * f * t_all[i * M:(i + 1) * M])
+                            for i, f in enumerate(freqs)])
+        return x, t_all
 
     def packed(self, N=None, freqs=None, overlap=.8, **tkw):
-        """Closely-spaced sinusoid bands with majority time-overlap."""
+        """Densely packed tones, alternating ends, `overlap` fractional
+        time-support each."""
         N = N or self.N
-        t, *_ = self._process_params(N, tkw)
+        tkw = self._resolve_tkw(tkw)
+        t = _timegrid(tkw['tmin'], tkw['tmax'], N, tkw['endpoint'])
         if freqs is None:
             freqs = [.5, 1, 2, N / 10, N / 10 + N / 50, N / 10 + N / 25,
                      N / 5, N / 4, N / 3, N / 3 + N / 10]
-        N_overlap = int(overlap * len(t))
+        m = int(overlap * len(t))
         x = np.zeros(len(t))
         for i, f in enumerate(freqs):
-            idxs = (slice(0, N_overlap) if (i % 2 == 0) else
-                    slice(-N_overlap, None))
-            x[idxs] += np.cos(2 * pi * f * t[idxs])
+            sl = slice(0, m) if i % 2 == 0 else slice(-m, None)
+            x[sl] += np.cos(TAU * f * t[sl])
         return x, t
 
     def packed_poly(self, N=None, **tkw):
-        """Closely-packed polynomial FMs with AM (non-configurable)."""
+        """Three closely-packed AM'd polynomial FM components
+        (non-configurable; frequencies scale with N)."""
         N = N or self.N
         t = np.linspace(0, 10, N)
-        adj = N / 512
-        k1, k2, k3 = 10 * adj, 2.4 * adj, 4.8 * adj
+        s = N / 512
         x1 = (1 + .3 * np.cos(t)) * np.cos(
-            2 * pi * (k1 * t - 0.3 * adj * np.sin(t)
-                      - 1.8 * adj * t ** 1.5))
+            TAU * (10 * s * t - .3 * s * np.sin(t) - 1.8 * s * t**1.5))
         x2 = (1 + .2 * np.cos(2 * t)) * np.exp(-t / 15) * np.cos(
-            2 * pi * (k2 * t + 0.5 * adj * t ** 1.2 + .3 * np.sin(t)))
-        x3 = np.cos(2 * pi * (k3 * t + .2 * adj * t ** 1.3))
+            TAU * (2.4 * s * t + .5 * s * t**1.2 + .3 * np.sin(t)))
+        x3 = np.cos(TAU * (4.8 * s * t + .2 * s * t**1.3))
         return x1 + x2 + x3, t
 
     def poly_cubic(self, N=None, **tkw):
-        """Cubic polynomial FM + pure tone (non-configurable)."""
+        """Two cubic polynomial FMs + a pure tone (non-configurable)."""
         N = N or self.N
         t = np.linspace(0, 10, N, endpoint=True)
-        p1 = np.poly1d([0.025, -0.36, 1.25, 2.0]) * (N / 256)
-        p3 = np.poly1d([0.01, -0.25, 1.5, 4.0]) * (N / 256)
-        x1 = sig.sweep_poly(t, p1)
-        x3 = sig.sweep_poly(t, p3)
-        x2 = np.sin(2 * pi * (.5 * N / 256) * t)
+        s = N / 256
+        x1 = sig.sweep_poly(t, np.poly1d([0.025, -0.36, 1.25, 2.0]) * s)
+        x3 = sig.sweep_poly(t, np.poly1d([0.01, -0.25, 1.5, 4.0]) * s)
+        x2 = np.sin(TAU * (.5 * s) * t)
         return x1 + x2 + x3, t
 
-    # ---- generation driver ------------------------------------------------
-    def make_signals(self, signals='all', N=None, get_params=False):
-        """Generate named signals; `'#'`-prefix superimposes the reflected
-        signal; `'name:am-name'` applies AM; `snr` adds WGN
-        (reference _test_signals.py:539-586)."""
-        names, params_all = self._process_input(signals)
-        data = {}
-        for name, (fparams, aparams) in zip(names, params_all):
-            fname, aname = (name.split(':') if ':' in name else (name, ''))
-            fname = fname.lstrip('#').replace('-', '_')
-            aname = aname.replace('-', '_')
-            fn = getattr(self, fname) if fname else \
-                (lambda *a, **kw: (np.ones(a[0]), None))
-            afn = getattr(self, aname) if aname else \
-                (lambda *a, **kw: (np.ones(a[0]), None))
+    # ---- batch driver -----------------------------------------------------
+    @classmethod
+    def _parse_name(cls, name):
+        """Split a catalog name into (reflect, carrier, modulator) with
+        validation; grammar: ``[#]carrier[:am-modulator]``."""
+        base = name.lstrip('#')
+        carrier, _, mod = base.partition(':')
+        for part in (carrier, mod):
+            if part and part not in cls.SUPPORTED and \
+                    part.replace('_', '-') not in cls.SUPPORTED:
+                raise ValueError(f"unsupported signal: {part}; must be "
+                                 "one of " + ', '.join(cls.SUPPORTED))
+        return name.startswith('#'), carrier, mod
 
-            tkw = {}
-            for dc in (fparams, aparams):
-                for k, v in dc.items():
-                    if k in ('tmin', 'tmax', 'endpoint'):
-                        tkw[k] = v
+    def _default_params(self, name, carrier, mod):
+        base = name.lstrip('#')
+        entry = self.default_args.get(base, self.default_args.get(carrier,
+                                                                  {}))
+        if isinstance(entry, tuple):
+            return dict(entry[0]), dict(entry[1])
+        aparams = dict(self.default_args.get(mod, {})) if mod else {}
+        return dict(entry), aparams
 
-            fparams = dict(fparams)
-            snr = fparams.pop('snr', self.snr)
-            x, t = fn(N, **fparams)
-            x = x * afn(len(x), **aparams, **tkw)[0]
-
-            if name.startswith('#'):
-                x = x + x[::-1]
-            if snr:
-                noise_var = x.var() / 10 ** (snr / 10)
-                rng = (np.random.default_rng(self.seed) if self.seed
-                       is not None else np.random.default_rng())
-                noise = np.sqrt(noise_var) * rng.standard_normal(len(x))
-                fparams['snr'] = 10 * np.log10(x.var() / noise.var())
-                x = x + noise
-            data[name] = (x, t, (fparams, aparams))
-
-        if not get_params:
-            data = [d[0] for d in data.values()]
-            if len(data) == 1:
-                data = data[0]
-        return data
-
-    def _process_input(self, signals):
+    def _normalize_request(self, signals):
+        """-> list of (name, fparams, aparams) from the flexible
+        `make_signals` input grammar."""
         if isinstance(signals, (str, tuple)):
-            if signals != 'all':
-                signals = [signals]
-            else:
-                signals = list(self.DEMO)
+            signals = list(self.DEMO) if signals == 'all' else [signals]
         elif not isinstance(signals, list):
             raise TypeError("`signals` must be string, list, or tuple "
                             "(got %s)" % type(signals))
-
-        names, params_all = [], []
-        for signal in signals:
-            if isinstance(signal, str):
-                name, params = signal, None
-            elif isinstance(signal, (tuple, list)) and len(signal) == 2:
-                name, params = signal
+        out = []
+        for item in signals:
+            if isinstance(item, str):
+                name, params = item, None
+            elif isinstance(item, (tuple, list)) and len(item) == 2:
+                name, params = item
             else:
                 raise TypeError(
                     "all tuple/list elements of `signals` must be "
                     "(str, dict) or (str, (dict, dict)) pairs")
-
-            base = name.lstrip('#')
-            fname = base.split(':')[0]
-            aname = base.split(':')[1] if ':' in base else ''
-            for nm in (fname, aname):
-                if nm and nm not in self.SUPPORTED and \
-                        nm.replace('_', '-') not in self.SUPPORTED:
-                    raise ValueError(f"unsupported signal: {nm}; must be "
-                                     "one of " + ', '.join(self.SUPPORTED))
-
+            _, carrier, mod = self._parse_name(name)
             if params is None:
-                dflt = self.default_args.get(base,
-                                             self.default_args.get(fname,
-                                                                   {}))
-                if isinstance(dflt, tuple):
-                    fparams, aparams = dict(dflt[0]), dict(dflt[1])
-                else:
-                    fparams = dict(dflt)
-                    aparams = dict(self.default_args.get(aname, {})) \
-                        if aname else {}
+                fparams, aparams = self._default_params(name, carrier, mod)
             elif isinstance(params, dict):
                 fparams, aparams = dict(params), {}
             else:
                 fparams, aparams = dict(params[0]), dict(params[1])
+            out.append((name, fparams, aparams))
+        return out
 
-            names.append(name)
-            params_all.append((fparams, aparams))
-        return names, params_all
+    def make_signals(self, signals='all', N=None, get_params=False):
+        """Generate named signals. Grammar: ``#name`` superimposes the
+        time-reversed signal, ``carrier:am-name`` multiplies by an AM
+        envelope; instance `snr` adds white Gaussian noise (reference
+        _test_signals.py:539-586)."""
+        data = {}
+        for name, fparams, aparams in self._normalize_request(signals):
+            reflect, carrier, mod = self._parse_name(name)
+            make_x = (getattr(self, carrier.replace('-', '_')) if carrier
+                      else (lambda n, **kw: (np.ones(n), None)))
+            make_a = (getattr(self, mod.replace('-', '_')) if mod
+                      else (lambda n, **kw: (np.ones(n), None)))
+
+            # time-grid kwargs are shared by carrier and modulator
+            tkw = {k: v for d in (fparams, aparams) for k, v in d.items()
+                   if k in ('tmin', 'tmax', 'endpoint')}
+
+            fparams = dict(fparams)
+            snr = fparams.pop('snr', self.snr)
+            x, t = make_x(N, **fparams)
+            x = x * make_a(len(x), **aparams, **tkw)[0]
+            if reflect:
+                x = x + x[::-1]
+            if snr:
+                rng = np.random.default_rng(self.seed)
+                target_var = x.var() / 10 ** (snr / 10)
+                noise = np.sqrt(target_var) * rng.standard_normal(len(x))
+                fparams['snr'] = 10 * np.log10(x.var() / noise.var())
+                x = x + noise
+            data[name] = (x, t, (fparams, aparams))
+
+        if get_params:
+            return data
+        xs = [v[0] for v in data.values()]
+        return xs[0] if len(xs) == 1 else xs
 
     # ---- demo / comparison drivers (visual) -------------------------------
     def demo(self, signals='all', N=None, dft=None):
         """Plot waveforms (and optionally DFTs) of `signals`."""
         from .. import visuals
-        data = self.make_signals(signals, N, get_params=True)
         if dft not in (None, 'rows', 'cols'):
             raise ValueError(f"`dft` must be 'rows', 'cols', or None "
                              f"(got {dft})")
-        for name, (x, t, (fparams, aparams)) in data.items():
-            title = self._title(name, len(x), fparams, aparams)
+        for name, (x, t, (fp, ap)) in self.make_signals(
+                signals, N, get_params=True).items():
+            title = self._title(name, len(x), fp, ap)
             if dft:
-                axrf = np.abs(np.fft.rfft(x))
-                visuals.plots([t, None], [x, axrf],
+                visuals.plots([t, None], [x, np.abs(np.fft.rfft(x))],
                               pkw=[{'title': title},
                                    {'title': f"rDFT({name})"}], show=1)
             else:
@@ -422,23 +457,18 @@ class TestSignals():
         """Apply `fn(x, t, (name, fparams, aparams))` to every signal and
         imshow returned transforms."""
         from .. import visuals
-        data = self.make_signals(signals, N, get_params=True)
-        default_pkw = dict(abs=1, show=1)
-        for name, (x, t, (fparams, aparams)) in data.items():
-            out = fn(x, t, (name, fparams, aparams))
+        for name, (x, t, (fp, ap)) in self.make_signals(
+                signals, N, get_params=True).items():
+            out = fn(x, t, (name, fp, ap))
             if out is None:
                 continue
             out, pkw = out
             pkw = dict(pkw)
-            pkw.setdefault('title',
-                           self._title(name, len(x), fparams, aparams))
-            for k, v in default_pkw.items():
-                pkw.setdefault(k, v)
-            if isinstance(out, (tuple, list)):
-                for o in out:
-                    visuals.imshow(o, **pkw)
-            else:
-                visuals.imshow(out, **pkw)
+            pkw.setdefault('title', self._title(name, len(x), fp, ap))
+            pkw.setdefault('abs', 1)
+            pkw.setdefault('show', 1)
+            for o in (out if isinstance(out, (tuple, list)) else [out]):
+                visuals.imshow(o, **pkw)
 
     def wavcomp(self, wavelets, signals='all', N=None, w=None, h=None,
                 tight_kw=None):
@@ -446,11 +476,8 @@ class TestSignals():
         from .ssq_cwt import ssq_cwt
 
         def fn(x, t, params):
-            outs = []
-            for wav in wavelets:
-                Tx, *_ = ssq_cwt(x, wav, astensor=False)
-                outs.append(np.abs(Tx))
-            return outs, {}
+            return [np.abs(ssq_cwt(x, wav, astensor=False)[0])
+                    for wav in wavelets], {}
         self.test_transforms(fn, signals, N)
 
     def cwt_vs_stft(self, wavelet, window, signals='all', N=None,
@@ -461,9 +488,9 @@ class TestSignals():
         from .ssq_stft import ssq_stft
 
         def fn(x, t, params):
-            Tx_c, *_ = ssq_cwt(x, wavelet, astensor=False)
-            Tx_s, *_ = ssq_stft(x, window, n_fft=n_fft, win_len=win_len,
-                                astensor=False)
+            Tx_c = ssq_cwt(x, wavelet, astensor=False)[0]
+            Tx_s = ssq_stft(x, window, n_fft=n_fft, win_len=win_len,
+                            astensor=False)[0]
             return [np.abs(Tx_c), np.abs(Tx_s)], {}
         self.test_transforms(fn, signals, N)
 
@@ -475,16 +502,16 @@ class TestSignals():
         from .ridge_extraction import extract_ridges
         from .. import visuals
 
-        data = self.make_signals(signals, N, get_params=True)
-        for name, (x, t, _) in data.items():
+        for name, (x, t, _) in self.make_signals(
+                signals, N, get_params=True).items():
             if transform == 'cwt':
-                Tx, Wx, ssq_freqs, scales = ssq_cwt(x, astensor=False,
-                                                    **transform_kw)[:4]
+                Tx, Wx, _, scales = ssq_cwt(x, astensor=False,
+                                            **transform_kw)[:4]
                 ridges = extract_ridges(Wx, scales, penalty=penalty,
                                         n_ridges=n_ridges, transform='cwt')
             else:
-                Tx, Sx, ssq_freqs, Sfs = ssq_stft(x, astensor=False,
-                                                  **transform_kw)[:4]
+                Tx, Sx, _, Sfs = ssq_stft(x, astensor=False,
+                                          **transform_kw)[:4]
                 ridges = extract_ridges(Sx, Sfs, penalty=penalty,
                                         n_ridges=n_ridges,
                                         transform='stft')
@@ -495,22 +522,21 @@ class TestSignals():
 
     @classmethod
     def _title(cls, signal, N, fparams, aparams, wrap_len=70):
-        fparams = dict(fparams)
-        for k, v in fparams.items():
-            if (k == 'fmax' and v is None and
-                    any(s in signal for s in ('lchirp', 'echirp',
-                                              'hchirp'))):
-                fparams['fmax'] = N / 2
-        snr = fparams.pop('snr', None)
+        """'name | N=.., k=v, ...' figure caption."""
+        shown = dict(fparams)
+        if shown.get('fmax', 0) is None and any(
+                fam in signal for fam in ('lchirp', 'echirp', 'hchirp')):
+            shown['fmax'] = N / 2
+        snr = shown.pop('snr', None)
+        head = dict(N=N)
         if snr:
-            fparams = dict(N=N, SNR="{:.1f}dB".format(snr), **fparams)
-        else:
-            fparams = dict(N=N, **fparams)
-        fparams = {k: (int(v) if (isinstance(v, float) and v.is_integer())
-                       else v) for k, v in fparams.items()}
-        ptxt = ', '.join(f"{k}={v}" for k, v in fparams.items())
-        title = "{} | {}".format(signal, ptxt)
+            head['SNR'] = "{:.1f}dB".format(snr)
+        shown = {**head, **shown}
+        shown = {k: (int(v) if isinstance(v, float) and v.is_integer()
+                     else v) for k, v in shown.items()}
+        caption = "{} | {}".format(
+            signal, ', '.join(f"{k}={v}" for k, v in shown.items()))
         if aparams:
-            title += ', ' + ', '.join(f"{k}={v}"
-                                      for k, v in aparams.items())
-        return title
+            caption += ', ' + ', '.join(f"{k}={v}"
+                                        for k, v in aparams.items())
+        return caption

@@ -332,7 +332,9 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
         if band is None:
             xre, xim = xhre_r[:], xhim_r[:]            # (rows0, f2)
         else:
-            r0v = r0_r[pl.program_id(0), 0]
+            # _band_plan 8-aligns every r0; Mosaic needs the proof
+            # spelled out for the dynamic sublane load
+            r0v = pl.multiple_of(r0_r[pl.program_id(0), 0], 8)
             xre = xhre_r[pl.ds(r0v, rows0), :]         # (br, f2)
             xim = xhim_r[pl.ds(r0v, rows0), :]
         w2re, w2im = w2re_r[:], w2im_r[:]
