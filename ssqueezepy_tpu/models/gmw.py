@@ -32,27 +32,29 @@ __all__ = [
 
 def _check_args(gamma=None, beta=None, norm=None, order=None, scale=None,
                 allow_zerobeta=True):
-    """Argument validation (mirrors reference _gmw.py:748-773)."""
+    """GMW parameter validation (same rejection set as the reference,
+    _gmw.py:748-773)."""
     if gamma is not None and gamma <= 0:
-        raise ValueError(f"`gamma` must be positive (got {gamma})")
-    if beta is not None:
-        if beta < 0:
-            kind = "non-negative" if allow_zerobeta else "positive"
-            raise ValueError(f"`beta` must be {kind} (got {beta})")
-        elif beta == 0 and not allow_zerobeta:
-            raise ValueError(f"`beta` cannot be zero (got {beta}); "
-                             "use `morsewave`, which supports it")
+        raise ValueError("GMW `gamma` must exceed 0; got %r" % gamma)
+    if beta is not None and beta < 0:
+        raise ValueError("GMW `beta` cannot be negative; got %r" % beta)
+    if beta == 0 and not allow_zerobeta:
+        raise ValueError("`beta` of zero is only supported by "
+                         "`morsewave` (the analytic lowpass case); "
+                         "got %r here" % beta)
     if norm is not None and norm not in ('bandpass', 'energy'):
-        raise ValueError(f"`norm` must be 'energy' or 'bandpass' "
-                         f"(got '{norm}')")
+        raise ValueError("GMW `norm` is 'bandpass' or 'energy'; got %r"
+                         % norm)
     if order is not None:
-        if (not isinstance(order, (int, float)) or
-                (isinstance(order, float) and not float(order).is_integer())):
-            raise TypeError("`order` must be integer (got %s)" % str(order))
-        elif order < 0:
-            raise ValueError("`order` must be >=0 (got %s)" % order)
+        if not isinstance(order, (int, float)) or \
+                float(order) != int(order):
+            raise TypeError("GMW `order` must be an integer; got %r"
+                            % (order,))
+        if order < 0:
+            raise ValueError("GMW `order` cannot be negative; got %r"
+                             % order)
     if scale is not None and scale <= 0:
-        raise ValueError(f"`scale` must be positive (got {scale})")
+        raise ValueError("`scale` must exceed 0; got %r" % scale)
 
 
 # --------------------------------------------------------------------------
@@ -147,13 +149,7 @@ def _gmw_k_constants(gamma, beta, k, norm='bandpass'):
         coeff = np.sqrt(2 * pi * gamma * (2 ** r) *
                         np.exp(gammaln_fn(k + 1) - gammaln_fn(k + r)))
 
-    L_consts = np.zeros(k + 1)
-    for m in range(k + 1):
-        fact = np.exp(gammaln_fn(k + c + 1) - gammaln_fn(c + m + 1) -
-                      gammaln_fn(k - m + 1))
-        L_consts[m] = (-1) ** m * fact / gamma_fn(m + 1)
-
-    k_consts = L_consts * coeff
+    k_consts = _laguerre_coeffs(k, c) * coeff
     if norm == 'bandpass':
         k_consts = k_consts * 2
     return k_consts
@@ -229,182 +225,206 @@ def compute_gmw(N, scale, gamma=3, beta=60, time=False, norm='bandpass',
     X[np.isinf(X) | np.isnan(X)] = 0.
 
     if time:
-        Xr = X.copy()
-        if N % 2 == 0:
-            Xr[N // 2] /= 2  # jLab issue #13: halve Nyquist for decay
-        x = np.fft.ifft(Xr * (-1) ** np.arange(N))
-        return X, x
+        return X, _spectrum_to_time(X)
     return X
+
+
+def _spectrum_to_time(X, axis=0):
+    """Frequency-domain wavelet -> centered time-domain wavelet: the
+    alternating-sign multiply circularly centers the IFFT, and for even
+    N the Nyquist bin is halved first (jLab issue #13: keeps the
+    time-domain tail decaying). Shared by `compute_gmw` and
+    `morsewave`."""
+    Xc = np.array(X, copy=True)
+    n = Xc.shape[axis]
+    if n % 2 == 0:
+        nyq = [slice(None)] * Xc.ndim
+        nyq[axis] = n // 2
+        Xc[tuple(nyq)] = Xc[tuple(nyq)] / 2
+    shape = [1] * Xc.ndim
+    shape[axis] = n
+    signs = ((-1.) ** np.arange(n)).reshape(shape)
+    return np.fft.ifft(Xc * signs, axis=axis)
+
+
+def _gmw_spectrum0(w, gamma, beta, norm, wp):
+    """Zeroth-order GMW spectrum at radian frequencies `w`, log-form
+    (`wp` = peak frequency, anchoring the bandpass peak at 2). The
+    beta = 0 degenerate case is the pure lowpass exp(-w^gamma); its
+    DC bin is halved (unit step -> clean lowpass). Non-finite entries
+    (log 0 at DC for beta > 0) are zeroed."""
+    with np.errstate(divide='ignore', invalid='ignore'):
+        if beta == 0:
+            spec = np.exp(-w ** gamma)
+            if norm == 'bandpass':
+                spec = 2 * spec
+            spec[0] = spec[0] / 2
+        elif norm == 'energy':
+            spec = np.exp(beta * np.log(w) - w ** gamma)
+        else:
+            peak_log = -beta * np.log(wp) + wp ** gamma
+            spec = 2 * np.exp(peak_log + beta * np.log(w) - w ** gamma)
+    spec[~np.isfinite(spec)] = 0.
+    return spec
+
+
+def _family_amplitude(gamma, beta, k, norm, stretch):
+    """Per-member normalization of the k-th orthogonal family member."""
+    if norm == 'energy':
+        return np.sqrt(1. / stretch) * morseafun(gamma, beta, k + 1,
+                                                 norm='energy')
+    if beta == 0:
+        return 1.
+    r = (2 * beta + 1) / gamma
+    return np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(k + 1)
+                          - gammaln_fn(k + r)))
 
 
 def morsewave(N, freqs, gamma=3, beta=60, K=1, norm='bandpass'):
     """First K orthogonal GMWs at (peak) center frequencies `freqs`
-    (radians). Full jLab-equivalent generator, incl. the beta=0 lowpass
-    case. Parity: reference `_gmw.morsewave` (_gmw.py:398-481).
+    (radians), incl. the beta=0 lowpass case. Functional parity with the
+    reference's jLab port (`_gmw.morsewave`, _gmw.py:398-481; after
+    Olhede & Walden 2002); organized here around the shared log-space
+    spectrum builder + Laguerre modulation.
 
     Returns (psih, psi) with shape [N x len(freqs) x K], length-1 dims
     collapsed.
     """
     _check_args(gamma=gamma, beta=beta, norm=norm)
-    if not isinstance(freqs, (list, tuple, np.ndarray)):
-        freqs = [freqs]
-    psi = np.zeros((N, len(freqs), K), dtype='complex128')
-    psif = np.zeros((N, len(freqs), K))
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=np.float64).squeeze())
+    if freqs.ndim == 0:
+        freqs = freqs[None]
 
-    for n, f in enumerate(freqs):
-        psif_n, psi_n = _morsewave1(N, abs(f), gamma, beta, K, norm)
-        psif[:, n:n + 1, :], psi[:, n:n + 1, :] = psif_n, psi_n
+    specs, waves = [], []
+    for f in freqs:
+        X, x = _morsewave_family(N, abs(f), gamma, beta, K, norm)
         if f < 0:
-            psi[:, n:n + 1, :] = psi[:, n, :].conj()
-            psif[1:, n:n + 1, :] = np.flip(psif[1:, n, :], axis=0)
-
+            x = x.conj()
+            X = np.concatenate([X[:1], X[:0:-1]], axis=0)
+        specs.append(X)
+        waves.append(x)
+    psif = np.stack(specs, axis=1)               # (N, n_freqs, K)
+    psi = np.stack(waves, axis=1)
     return psif.squeeze(), psi.squeeze()
 
 
-def _morsewave1(N, f, gamma, beta, K, norm):
-    fo = morsefreq(gamma, beta)
-    fact = f / fo
-    w = 2 * pi * np.linspace(0, 1, N, endpoint=False) / fact
-    w = w.reshape(-1, 1)
+def _morsewave_family(N, f, gamma, beta, K, norm):
+    """(psih, psi) of the K-member family at one center frequency:
+    spectrum columns are `amplitude_k * spectrum0 * L_k^c(2 w^gamma)`
+    on the non-negative half (generalized Laguerre orthogonalization),
+    converted to time via `_spectrum_to_time`."""
+    wp = morsefreq(gamma, beta)
+    stretch = f / wp
+    w = (2 * pi / stretch) * np.linspace(0, 1, N, endpoint=False)
+    base = _gmw_spectrum0(w, gamma, beta, norm, wp)
 
-    with np.errstate(divide='ignore', invalid='ignore'):
-        if norm == 'energy':
-            psizero = (np.exp(-w ** gamma) if beta == 0 else
-                       np.exp(beta * np.log(w) - w ** gamma))
-        else:
-            psizero = (2 * np.exp(-w ** gamma) if beta == 0 else
-                       2 * np.exp(-beta * np.log(fo) + fo ** gamma +
-                                  beta * np.log(w) - w ** gamma))
-
-    if beta == 0:
-        psizero[0] /= 2  # unit-step to nice lowpass
-    psizero[np.isnan(psizero) | np.isinf(psizero)] = 0.
-
-    X = _morsewave_first_family(fact, N, K, gamma, beta, w, psizero, norm)
-    X[np.isinf(X)] = 0.
-
-    Xr = X.copy()
-    Xr *= (-1) ** np.arange(len(Xr)).reshape(-1, 1, 1)
-    if len(Xr) % 2 == 0:
-        Xr[len(Xr) // 2] /= 2
-    x = np.fft.ifft(Xr, axis=0)
-    return X, x
-
-
-def _morsewave_first_family(fact, N, K, gamma, beta, w, psizero, norm):
-    """K orthogonal family members via generalized Laguerre polynomials
-    (reference _gmw.py:524-552, after Olhede & Walden)."""
-    r = (2 * beta + 1) / gamma
-    c = r - 1
-    L = np.zeros(w.shape)
-    psif = np.zeros((len(psizero), 1, K))
-
+    half = slice(0, N // 2 + 1)
+    c = (2 * beta + 1) / gamma - 1
+    X = np.zeros((N, K))
     for k in range(K):
-        if norm == 'energy':
-            A = morseafun(gamma, beta, k + 1, norm='energy')
-            coeff = np.sqrt(1. / fact) * A
-        else:
-            coeff = (1. if beta == 0 else
-                     np.sqrt(np.exp(gammaln_fn(r) + gammaln_fn(k + 1) -
-                                    gammaln_fn(k + r))))
-        L[:N // 2 + 1] = laguerre(2 * w[:N // 2 + 1] ** gamma, k, c
-                                  ).reshape(-1, 1)
-        psif[:, :, k] = coeff * psizero * L
-    return psif
+        Lk = np.zeros(N)
+        Lk[half] = laguerre(2 * w[half] ** gamma, k, c)
+        X[:, k] = _family_amplitude(gamma, beta, k, norm, stretch) \
+            * base * Lk
+    X[np.isinf(X)] = 0.
+    return X, _spectrum_to_time(X, axis=0)
 
 
 def morseafun(gamma, beta, k=1, norm='bandpass'):
-    """GMW amplitude (freq-domain peak value); reference _gmw.py:555-589."""
-    if norm == 'energy':
-        r = (2 * beta + 1) / gamma
-        A = np.sqrt(2 * pi * gamma * (2 ** r) *
-                    np.exp(gammaln_fn(k) - gammaln_fn(k + r - 1)))
-    elif norm == 'bandpass':
+    """GMW amplitude (freq-domain peak value); parity with the
+    reference's jLab port (_gmw.py:555-589)."""
+    if norm == 'bandpass':
         if beta == 0:
-            A = 2.
-        else:
-            wc = morsefreq(gamma, beta)
-            A = 2. / np.exp(beta * np.log(wc) - wc ** gamma)
-    else:
+            return 2.
+        wp = morsefreq(gamma, beta)
+        return 2. / np.exp(beta * np.log(wp) - wp ** gamma)
+    if norm != 'energy':
         raise ValueError("unsupported `norm`: %s; must be one of: "
                          "'bandpass', 'energy'." % norm)
-    return A
+    r = (2 * beta + 1) / gamma
+    return np.sqrt(2 * pi * gamma * (2 ** r)
+                   * np.exp(gammaln_fn(k) - gammaln_fn(k + r - 1)))
+
+
+def _laguerre_coeffs(k, c):
+    """Coefficient vector of the generalized Laguerre polynomial
+    L_k^c (coeffs[m] multiplies x^m), gammaln-stabilized."""
+    m = np.arange(k + 1)
+    logmag = (gammaln_fn(k + c + 1) - gammaln_fn(c + m + 1)
+              - gammaln_fn(k - m + 1))
+    return (-1.) ** m * np.exp(logmag) / gamma_fn(m + 1)
 
 
 def laguerre(x, k, c):
-    """Generalized Laguerre polynomial L_k^c(x); reference _gmw.py:592-608."""
+    """Generalized Laguerre polynomial L_k^c(x) (ascending-power
+    evaluation; shared coefficients with `_gmw_k_constants`)."""
     x = np.atleast_1d(np.asarray(x).squeeze())
     assert x.ndim == 1
     y = np.zeros(x.shape)
-    for m in range(k + 1):
-        fact = np.exp(gammaln_fn(k + c + 1) - gammaln_fn(c + m + 1) -
-                      gammaln_fn(k - m + 1))
-        y += (-1) ** m * fact * x ** m / gamma_fn(m + 1)
+    for m, cm in enumerate(_laguerre_coeffs(k, c)):
+        y += cm * x ** m
     return y
 
 
 def morsefreq(gamma, beta, n_out=1):
-    """GMW frequency measures: peak `wm`, energy `we`, instantaneous `wi`,
-    curvature `cwi` (all radian). Reference _gmw.py:611-657."""
-    wm = (beta / gamma) ** (1 / gamma)
-    if n_out == 1:
-        return wm
-    we = (1 / 2 ** (1 / gamma)) * (gamma_fn((2 * beta + 2) / gamma) /
-                                   gamma_fn((2 * beta + 1) / gamma))
-    if n_out == 2:
-        return wm, we
-    wi = (gamma_fn((beta + 2) / gamma) / gamma_fn((beta + 1) / gamma))
-    if n_out == 3:
-        return wm, we, wi
-    k2 = _morsemom(2, gamma, beta, n_out=3)[-1]
-    k3 = _morsemom(3, gamma, beta, n_out=3)[-1]
-    cwi = -(k3 / k2 ** 1.5)
-    return wm, we, wi, cwi
+    """GMW frequency measures (radian), most-used first: peak `wm`,
+    energy `we`, instantaneous `wi`, curvature `cwi`. Parity with the
+    reference's jLab port (_gmw.py:611-657); measures are computed
+    lazily up to `n_out`."""
+    out = [(beta / gamma) ** (1 / gamma)]
+    if n_out >= 2:
+        out.append((1 / 2 ** (1 / gamma))
+                   * (gamma_fn((2 * beta + 2) / gamma)
+                      / gamma_fn((2 * beta + 1) / gamma)))
+    if n_out >= 3:
+        out.append(gamma_fn((beta + 2) / gamma)
+                   / gamma_fn((beta + 1) / gamma))
+    if n_out >= 4:
+        k2 = _morsemom(2, gamma, beta, n_out=3)[-1]
+        k3 = _morsemom(3, gamma, beta, n_out=3)[-1]
+        out.append(-(k3 / k2 ** 1.5))
+    return out[0] if n_out == 1 else tuple(out[:n_out])
+
+
+def _energy_moment1(p, gamma, beta):
+    """p-th frequency moment of the first-order GMW:
+    amplitude x (1/(2 pi gamma)) Gamma((beta + p + 1)/gamma)."""
+    mf = (1 / (2 * pi * gamma)) * gamma_fn((beta + p + 1) / gamma)
+    return morseafun(gamma, beta, k=1) * mf
 
 
 def _morsemom(p, gamma, beta, n_out=4):
-    """p-th order frequency-domain (energy) moments/cumulants of the
-    first-order GMW; reference _gmw.py:660-718."""
-    def morsemom1(p, gamma, beta):
-        return morseafun(gamma, beta, k=1) * morsef(gamma, beta + p)
-
-    def morsef(gamma, beta):
-        return (1 / (2 * pi * gamma)) * gamma_fn((beta + 1) / gamma)
-
-    Mp = morsemom1(p, gamma, beta)
+    """p-th order frequency-domain moments (Mp wavelet, Np energy) and
+    cumulants (Kp, Lp) of the first-order GMW; parity with the
+    reference's jLab port (_gmw.py:660-718)."""
+    Mp = _energy_moment1(p, gamma, beta)
     if n_out == 1:
         return Mp
-    Np = (2 / 2 ** ((1 + p) / gamma)) * morsemom1(p, gamma, 2 * beta)
+    Np = (2 / 2 ** ((1 + p) / gamma)) * _energy_moment1(p, gamma, 2 * beta)
     if n_out == 2:
         return Mp, Np
-    prange = np.arange(p + 1)
-    moments = morsemom1(prange, gamma, beta)
-    cumulants = _moments_to_cumulants(moments)
-    Kp = cumulants[p]
+    orders = np.arange(p + 1)
+    Kp = _moments_to_cumulants(_energy_moment1(orders, gamma, beta))[p]
     if n_out == 3:
         return Mp, Np, Kp
-    moments = (2 / 2 ** ((1 + prange) / gamma)) * morsemom1(prange, gamma,
-                                                            2 * beta)
-    cumulants = _moments_to_cumulants(moments)
-    Lp = cumulants[p]
+    e_moments = (2 / 2 ** ((1 + orders) / gamma)) \
+        * _energy_moment1(orders, gamma, 2 * beta)
+    Lp = _moments_to_cumulants(e_moments)[p]
     return Mp, Np, Kp, Lp
 
 
-def _nCk(n, k):
-    from math import comb
-    return comb(int(n), int(k))
-
-
 def _moments_to_cumulants(moments):
-    """Moments -> cumulants; reference _gmw.py:721-745."""
+    """Raw moments -> cumulants via the standard recurrence
+    kappa_n = m_n/m_0 - sum_k C(n-1, k-1) kappa_k m_{n-k}/m_0."""
+    from math import comb
     moments = np.atleast_1d(np.asarray(moments).squeeze())
     assert moments.ndim == 1
+    scaled = moments / moments[0]
     cumulants = np.zeros(len(moments))
     cumulants[0] = np.log(moments[0])
     for n in range(1, len(moments)):
-        coeff = 0
+        acc = scaled[n]
         for k in range(1, n):
-            coeff += _nCk(n - 1, k - 1) * cumulants[k] * (
-                moments[n - k] / moments[0])
-        cumulants[n] = (moments[n] / moments[0]) - coeff
+            acc = acc - comb(n - 1, k - 1) * cumulants[k] * scaled[n - k]
+        cumulants[n] = acc
     return cumulants
