@@ -58,11 +58,6 @@ class Config:
     # like the DPSS default are ~10x narrower than the full stage-1 K).
     # Set False to force the full-support contraction.
     stft_band: bool = True
-    # flattened tier-1 scatter: one dynamic fori over the whole tile's
-    # (group, q) pass space instead of one fori LAUNCH per 32-row group
-    # (launch setup measured ~half of tier-1 at the benchmark shape).
-    # Bit-exact vs the grouped design (adds run in the same order).
-    scatter_flat: bool = False
     wavelets: WaveletDefaults = field(default_factory=WaveletDefaults)
 
 
@@ -88,9 +83,6 @@ def _from_env(cfg):
     sb = os.environ.get('SSQTPU_STFT_BAND')
     if sb is not None and sb != '':
         cfg.stft_band = sb not in ('0', 'false', 'False')
-    sf = os.environ.get('SSQTPU_SCATTER_FLAT')
-    if sf is not None and sf != '':
-        cfg.scatter_flat = sf not in ('0', 'false', 'False')
     return cfg
 
 
@@ -201,4 +193,4 @@ def exec_config_key():
     the TPU bins pipeline after reconfiguration)."""
     cfg = get_config()
     return (backend(), cfg.use_pallas, cfg.pallas_interpret,
-            cfg.ssq_lowprec_deriv, cfg.stft_band, cfg.scatter_flat)
+            cfg.ssq_lowprec_deriv, cfg.stft_band)

@@ -67,7 +67,7 @@ _BAND = int(_os.environ.get('SSQTPU_SCATTER_BAND', '24'))
 
 
 def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
-                        oaccr, oacci, outr, outi, flat_scr=None):
+                        oaccr, oacci, outr, outi):
     """Shared two-tier scatter core: out[row + d] += v with d = dm (the
     caller masks invalid cells to _BIG and guarantees row + d in
     [0, nbins) for the rest).
@@ -118,11 +118,35 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
     zeros8 = jnp.zeros((8, 2 * T), dt)
     big8 = jnp.full((8, 2 * T), _BIG, jnp.int32)
 
-    if flat_scr is not None:
-        _tier1_flat(v2, dm2, zeros8, big8, ngroups, base_off, acc,
-                    flat_scr)
-    else:
-        _tier1_grouped(v2, dm2, zeros8, big8, ngroups, base_off, acc)
+    for g in range(ngroups):
+        vg = jnp.concatenate([v2[g * G:(g + 1) * G], zeros8], axis=0)
+        dmg = jnp.concatenate([dm2[g * G:(g + 1) * G], big8], axis=0)
+        neg = jnp.where(dmg == _BIG, -_BIG, dmg)
+        dmin = jnp.min(dmg)
+        dmax = jnp.max(neg)
+
+        # all 8 residue rolls up front; ONE dynamic fori per group with
+        # the residues statically unrolled inside — fori_loop LAUNCHES
+        # dominate the kernel otherwise (~80 scalar-loop setups per grid
+        # step measured slower than all the vector work combined)
+        vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
+        dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
+        # d = 8q + r with r in [0, 8) covers exactly
+        # [8*floor(dmin/8), 8*floor(dmax/8) + 7] >= [dmin, dmax]
+        qlo = jnp.floor_divide(dmin, 8)
+        qhi = jnp.floor_divide(dmax, 8)
+
+        def qbody(q, _, g=g):
+            off = pl.multiple_of(base_off + g * G + 8 * q, 8)
+            upd = acc[pl.ds(off, G + 8)]
+            for r in range(8):
+                dd = 8 * q + r
+                m = (dmrs[r] == dd).astype(dt)
+                upd = upd + vrs[r] * m
+            acc[pl.ds(off, G + 8)] = upd
+            return 0
+
+        jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
 
     # ---- tier 2: per-column outlier extraction ---------------------------
     # two per column per iteration (the lowest and highest alive rows) —
@@ -164,125 +188,6 @@ def _shift_scatter_core(vre, vim, dm, offs, na_pad, nbins_pad, T, acc,
 
     outr[:] = acc[pl.ds(base_off, nbins_pad), :T] + oaccr[:]
     outi[:] = acc[pl.ds(base_off, nbins_pad), T:] + oacci[:]
-
-
-def _tier1_grouped(v2, dm2, zeros8, big8, ngroups, base_off, acc):
-    """Tier-1 shift passes, per-group dynamic fori (the round-3 design:
-    one `fori_loop` launch per 32-row group per tile)."""
-    dt = v2.dtype
-    G = _GROUP
-    for g in range(ngroups):
-        vg = jnp.concatenate([v2[g * G:(g + 1) * G], zeros8], axis=0)
-        dmg = jnp.concatenate([dm2[g * G:(g + 1) * G], big8], axis=0)
-        neg = jnp.where(dmg == _BIG, -_BIG, dmg)
-        dmin = jnp.min(dmg)
-        dmax = jnp.max(neg)
-
-        # all 8 residue rolls up front; ONE dynamic fori per group with
-        # the residues statically unrolled inside — fori_loop LAUNCHES
-        # dominate the kernel otherwise (~80 scalar-loop setups per grid
-        # step measured slower than all the vector work combined)
-        vrs = [vg] + [pltpu.roll(vg, r, 0) for r in range(1, 8)]
-        dmrs = [dmg] + [pltpu.roll(dmg, r, 0) for r in range(1, 8)]
-        # d = 8q + r with r in [0, 8) covers exactly
-        # [8*floor(dmin/8), 8*floor(dmax/8) + 7] >= [dmin, dmax]
-        qlo = jnp.floor_divide(dmin, 8)
-        qhi = jnp.floor_divide(dmax, 8)
-
-        def qbody(q, _, g=g):
-            off = pl.multiple_of(base_off + g * G + 8 * q, 8)
-            upd = acc[pl.ds(off, G + 8)]
-            for r in range(8):
-                dd = 8 * q + r
-                m = (dmrs[r] == dd).astype(dt)
-                upd = upd + vrs[r] * m
-            acc[pl.ds(off, G + 8)] = upd
-            return 0
-
-        jax.lax.fori_loop(qlo, qhi + 1, qbody, 0, unroll=False)
-
-
-def _tier1_flat(v2, dm2, zeros8, big8, ngroups, base_off, acc, flat_scr):
-    """Tier-1 shift passes, flattened: ONE dynamic fori over the whole
-    tile's (group, q) pass space.
-
-    The grouped design pays one `fori_loop` LAUNCH (scalar setup) per
-    32-row group per tile — measured roughly half of tier-1's 5.9 ms at
-    the benchmark shape (PROFILE.md round-4). Here the 8 residue rolls
-    are taken once on the FULL (na_pad + 8, 2T) plane and staged in VMEM
-    scratch (`flat_scr`: 8 value + 8 displacement refs) so one loop can
-    slice any group's window at a dynamic offset; per-group [qlo, qhi]
-    spans become scalar cumulative pass counts, and each flat iteration
-    t decodes (g, q) with ~3 scalar ops per group (ngroups ~ 10).
-
-    Correctness of the full-plane roll: group g's window rows
-    [gG, gG + G + 8) of roll r hold plane rows [gG - r, gG + G + 8 - r);
-    positions i in [r, G + r) are EXACTLY group g's own rows shifted to
-    land at acc[base + row + 8q + r] — alien rows (neighbor groups at
-    i < r and i >= G + r) are cut by a STATIC window mask per residue,
-    so the adds are identical to the grouped design pass-for-pass
-    (bit-exact; asserted in tests/test_scatter_flat.py)."""
-    dt = v2.dtype
-    G = _GROUP
-    T2 = v2.shape[1]
-    vfull = jnp.concatenate([v2, zeros8], axis=0)
-    dfull = jnp.concatenate([dm2, big8], axis=0)
-    vscr, dscr = flat_scr
-    for r in range(8):
-        vscr[r][:] = vfull if r == 0 else pltpu.roll(vfull, r, 0)
-        dscr[r][:] = dfull if r == 0 else pltpu.roll(dfull, r, 0)
-
-    # per-group q-spans as scalars; cum[g] = first flat index of group g
-    qlos, cum = [], [jnp.asarray(0, jnp.int32)]
-    for g in range(ngroups):
-        dmg = dm2[g * G:(g + 1) * G]
-        neg = jnp.where(dmg == _BIG, -_BIG, dmg)
-        qlo = jnp.floor_divide(jnp.min(dmg), 8)
-        qhi = jnp.floor_divide(jnp.max(neg), 8)
-        cnt = jnp.maximum(qhi - qlo + 1, 0)   # all-invalid group -> 0
-        qlos.append(qlo.astype(jnp.int32))
-        cum.append(cum[-1] + cnt.astype(jnp.int32))
-    total = cum[-1]
-
-    # static alien-row cut per residue: window position i holds plane
-    # row gG + i - r, which belongs to group g iff i in [r, G + r)
-    pos = jax.lax.broadcasted_iota(jnp.int32, (G + 8, T2), 0)
-    wmask = [(pos >= r) & (pos < G + r) for r in range(8)]
-
-    def pbody(t, _):
-        g = jnp.asarray(0, jnp.int32)
-        for gg in range(1, ngroups):
-            g = g + (t >= cum[gg]).astype(jnp.int32)
-        qlo_g = qlos[0]
-        cum_g = cum[0]
-        for gg in range(1, ngroups):
-            sel = (g == gg)
-            qlo_g = jnp.where(sel, qlos[gg], qlo_g)
-            cum_g = jnp.where(sel, cum[gg], cum_g)
-        q = qlo_g + (t - cum_g)
-        off = pl.multiple_of(base_off + g * G + 8 * q, 8)
-        woff = pl.multiple_of(g * G, 8)
-        upd = acc[pl.ds(off, G + 8)]
-        for r in range(8):
-            dd = 8 * q + r
-            m = (dscr[r][pl.ds(woff, G + 8)] == dd) & wmask[r]
-            upd = upd + vscr[r][pl.ds(woff, G + 8)] * m.astype(dt)
-        acc[pl.ds(off, G + 8)] = upd
-        return 0
-
-    jax.lax.fori_loop(0, total, pbody, 0, unroll=False)
-
-
-def _flat_scratch(na_pad, T, dt):
-    """Scratch refs for the flattened tier-1: 8 rolled value planes +
-    8 rolled displacement planes, (na_pad + 8, 2T) each."""
-    return ([pltpu.VMEM((na_pad + 8, 2 * T), dt) for _ in range(8)] +
-            [pltpu.VMEM((na_pad + 8, 2 * T), jnp.int32) for _ in range(8)])
-
-
-def _split_flat_scr(scr):
-    """Group a 16-ref scratch tail into the (vscr, dscr) pair."""
-    return (list(scr[:8]), list(scr[8:16]))
 
 
 def _acc_shape(na_pad, nbins_pad, T):
@@ -429,13 +334,10 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
 
 
 def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
-                       has_sfs, flat=False):
+                       has_sfs):
     omax = params['omax']
 
     def kernel(*refs):
-        flat_scr = _split_flat_scr(refs[-16:]) if flat else None
-        if flat:
-            refs = refs[:-16]
         if has_sfs:
             (wxr, wxi, dwxr, dwxi, const_r, offs_r, sfs_r, outr, outi,
              acc, oaccr, oacci) = refs
@@ -472,21 +374,13 @@ def _make_fused_kernel(na_pad, nbins_pad, T, params, gamma, flipud, mode,
         dm = jnp.where(valid & ~edge, d, _BIG)
 
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            flat_scr=flat_scr)
+                            acc, oaccr, oacci, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
         outi[pl.ds(omax, 1)] = outi[pl.ds(omax, 1)] + hi_im.reshape(1, T)
 
     return kernel
-
-
-def _flat_default():
-    """Config default for the flattened tier-1 (SSQTPU_SCATTER_FLAT /
-    `configure(scatter_flat=...)`)."""
-    from ..configs import get_config
-    return bool(get_config().scatter_flat)
 
 
 def _offs_column(nat_key, perm, na, na_pad):
@@ -501,10 +395,10 @@ def _offs_column(nat_key, perm, na, na_pad):
 
 @functools.partial(jax.jit, static_argnames=(
     'param_items', 'gamma', 'flipud', 'perm', 'nat_key', 'has_sfs',
-    'interpret', 'T', 'flat'))
+    'interpret', 'T'))
 def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                     gamma, flipud, perm, nat_key, has_sfs, interpret,
-                    T=1024, flat=False):
+                    T=1024):
     params = dict(param_items)
     na, N = Wxr.shape
     nbins = params['omax'] + 1
@@ -551,7 +445,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
         in_specs.append(col_spec)
 
     kernel = _make_fused_kernel(na_pad, nbins_pad, T, params, gamma,
-                                flipud, params['mode'], has_sfs, flat=flat)
+                                flipud, params['mode'], has_sfs)
     out_re, out_im = pl.pallas_call(
         kernel,
         grid=(N_pad // T,),
@@ -564,8 +458,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
-                        pltpu.VMEM((nbins_pad, T), dt)] +
-                       (_flat_scratch(na_pad, T, dt) if flat else []),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -575,7 +468,7 @@ def _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col, param_items,
 
 @functools.lru_cache(maxsize=64)
 def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
-                      interpret, T, flat=False):
+                      interpret, T):
     """custom_vjp wrapper: Pallas forward, backward = jax.vjp of the XLA
     formulation of the identical math (the gradient of the reassignment
     w.r.t. (Wx, const) is a bin gather; bins themselves are produced by
@@ -597,7 +490,7 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
     def f(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col):
         return _ssq_fused_call(Wxr, Wxi, dWxr, dWxi, const_col, Sfs_col,
                                param_items, gamma, flipud, perm, nat_key,
-                               has_sfs, interpret, T=T, flat=flat)
+                               has_sfs, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -611,15 +504,12 @@ def _ssq_fused_vjp_fn(param_items, gamma, flipud, perm, nat_key, has_sfs,
 
 
 def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
-                     Sfs=None, interpret=False, T=1024, flat=None):
+                     Sfs=None, interpret=False, T=1024):
     """Fused phase+bin+scatter on TPU. `Wx`, `dWx` split-complex (na, n)
     or (b, na, n); returns Tx `Complex` with ``params['omax'] + 1`` rows.
     Any (na, nbins) geometry; `natural_bins` only tunes the row
     pre-permutation (displacement locality). Differentiable (custom VJP;
-    see `_ssq_fused_vjp_fn`). `flat=None` takes the config's
-    `scatter_flat` tier-1 selection."""
-    if flat is None:
-        flat = _flat_default()
+    see `_ssq_fused_vjp_fn`)."""
     na = Wx.shape[-2]
     perm = _plan_perm(natural_bins, na)
     nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
@@ -634,7 +524,7 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 
     call2d = _ssq_fused_vjp_fn(
         tuple(sorted(params.items())), float(gamma), bool(flipud), perm,
-        nat_key, Sfs is not None, bool(interpret), int(T), bool(flat))
+        nat_key, Sfs is not None, bool(interpret), int(T))
 
     def call(wr, wi, dr, di):
         return call2d(wr, wi, dr, di, const_col, Sfs_col)
@@ -656,12 +546,11 @@ def ssq_fused_pallas(Wx, dWx, const, params, gamma, flipud, natural_bins,
 # HBM; this kernel multiplies Wx by the per-row squeeze constant,
 # extracts edge-clamped bins via static reductions, and shift-scatters
 # --------------------------------------------------------------------------
-def _make_kv_kernel(na_pad, nbins_pad, T, nbins, flat=False):
+def _make_kv_kernel(na_pad, nbins_pad, T, nbins):
     omax = nbins - 1
 
     def kernel(wxr, wxi, k_r, const_r, offs_r, outr, outi, acc,
-               oaccr, oacci, *scr):
-        flat_scr = _split_flat_scr(scr) if flat else None
+               oaccr, oacci):
         dt = wxr.dtype
         # k may arrive int16 (the direct pipeline's -10%-input-volume
         # lever); tier math runs int32 (_BIG exceeds int16)
@@ -687,8 +576,7 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, flat=False):
         rows = jax.lax.broadcasted_iota(jnp.int32, (na_pad, T), 0)
         dm = jnp.where(valid & ~edge, k - rows, _BIG)
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            flat_scr=flat_scr)
+                            acc, oaccr, oacci, outr, outi)
         outr[pl.ds(0, 1)] = outr[pl.ds(0, 1)] + lo_re.reshape(1, T)
         outi[pl.ds(0, 1)] = outi[pl.ds(0, 1)] + lo_im.reshape(1, T)
         outr[pl.ds(omax, 1)] = outr[pl.ds(omax, 1)] + hi_re.reshape(1, T)
@@ -697,9 +585,9 @@ def _make_kv_kernel(na_pad, nbins_pad, T, nbins, flat=False):
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T', 'flat'))
+                                             'interpret', 'T'))
 def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
-                     interpret, T=1024, flat=False):
+                     interpret, T=1024):
     na, N = wxr.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -733,7 +621,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
         offs_np = _offs_column(nat_key, perm, na, na_pad)
 
     offs = jnp.asarray(offs_np)
-    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins, flat=flat)
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -749,8 +637,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
-                        pltpu.VMEM((nbins_pad, T), dt)] +
-                       (_flat_scratch(na_pad, T, dt) if flat else []),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -759,7 +646,7 @@ def _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm, nat_key,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
+def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T):
     """custom_vjp: forward = k-consuming Pallas scatter; backward =
     adjoint gather via the XLA formulation (k is integer-valued and
     carries no tangent)."""
@@ -773,7 +660,7 @@ def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
     @jax.custom_vjp
     def f(wxr, wxi, k, const_col):
         return _scatter_kv_call(wxr, wxi, k, const_col, nbins, perm,
-                                nat_key, interpret, T=T, flat=flat)
+                                nat_key, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -787,14 +674,11 @@ def _scatter_kv_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
 
 
 def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
-                      interpret=False, T=1024, flat=None):
+                      interpret=False, T=1024):
     """Reassignment from precomputed bin indices: `out[k[i,j], j] +=
     Wx[i,j] * const[i]`, with `k < 0` (or >= nbins) marking invalid
     cells. Edge bins (0, nbins-1) extract via static reductions.
-    Differentiable in Wx (custom VJP: adjoint gather). `flat=None`
-    takes the config's `scatter_flat` tier-1 selection."""
-    if flat is None:
-        flat = _flat_default()
+    Differentiable in Wx (custom VJP: adjoint gather)."""
     na = Wx.shape[-2]
     perm = _plan_perm(natural_bins, na)
     nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
@@ -804,7 +688,7 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
     c = jnp.asarray(const, dt).reshape(-1)
     const_col = jnp.broadcast_to(c, (na,)) if c.shape[0] != na else c
     f = _scatter_kv_vjp_fn(int(nbins), perm, nat_key, bool(interpret),
-                           int(T), bool(flat))
+                           int(T))
     if Wx.re.ndim == 3:
         outr, outi = jax.vmap(
             lambda a, b, kk: f(a, b, kk, const_col))(Wx.re, Wx.im, k)
@@ -823,9 +707,9 @@ def scatter_kv_pallas(Wx, k, const, nbins, natural_bins=None,
 # `xla_prep`) disappears, and k rides as int16 (-10% input volume).
 # --------------------------------------------------------------------------
 @functools.partial(jax.jit, static_argnames=('nbins', 'offs_key',
-                                             'interpret', 'T', 'flat'))
+                                             'interpret', 'T'))
 def _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins, offs_key,
-                            interpret, T=2048, flat=False):
+                            interpret, T=2048):
     na_pad, W = wxr.shape
     assert na_pad % _GROUP == 0 and W % T == 0, (na_pad, W, T)
     nbins_pad = _round_up(max(nbins, 8), 8)
@@ -834,7 +718,7 @@ def _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins, offs_key,
         offs_np = np.zeros((na_pad, 1), np.int32)
     else:
         offs_np = np.asarray(offs_key, np.int32).reshape(na_pad, 1)
-    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins, flat=flat)
+    kernel = _make_kv_kernel(na_pad, nbins_pad, T, nbins)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     cs = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
@@ -850,8 +734,7 @@ def _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins, offs_key,
                    jax.ShapeDtypeStruct((nbins_pad, W), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
-                        pltpu.VMEM((nbins_pad, T), dt)] +
-                       (_flat_scratch(na_pad, T, dt) if flat else []),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -860,7 +743,7 @@ def _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins, offs_key,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_kv_direct_vjp_fn(nbins, offs_key, interpret, T, flat=False):
+def _scatter_kv_direct_vjp_fn(nbins, offs_key, interpret, T):
     """custom_vjp for the direct scatter: forward = zero-prep Pallas;
     backward = adjoint gather via the XLA formulation on the full padded
     planes (k integer-valued, no tangent)."""
@@ -877,7 +760,7 @@ def _scatter_kv_direct_vjp_fn(nbins, offs_key, interpret, T, flat=False):
     @jax.custom_vjp
     def f(wxr, wxi, k, const_col):
         return _scatter_kv_direct_call(wxr, wxi, k, const_col, nbins,
-                                       offs_key, interpret, T=T, flat=flat)
+                                       offs_key, interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -891,7 +774,7 @@ def _scatter_kv_direct_vjp_fn(nbins, offs_key, interpret, T, flat=False):
 
 
 def scatter_kv_direct(Wx, k, const_pad, nbins, offs=None, interpret=False,
-                      T=2048, flat=None):
+                      T=2048):
     """Zero-prep reassignment on pre-layout planes: `Wx` split-complex
     (na_pad, W) with na_pad % 32 == 0 and W % T == 0, `k` int16/int32
     bin plane (-1 / out-of-range = invalid), `const_pad` (na_pad,)
@@ -899,23 +782,19 @@ def scatter_kv_direct(Wx, k, const_pad, nbins, offs=None, interpret=False,
     per-row band centers (natural_bin - row; None = zeros, exact for
     the identity-layout planes the bins kernels emit). Returns the FULL
     (nbins_pad, W) Tx planes — callers slice [:nbins, off:off+N].
-    Differentiable in Wx (custom VJP: adjoint gather). `flat=None`
-    takes the config's `scatter_flat` tier-1 selection."""
-    if flat is None:
-        flat = _flat_default()
+    Differentiable in Wx (custom VJP: adjoint gather)."""
     offs_key = (tuple(int(v) for v in np.asarray(offs).reshape(-1))
                 if offs is not None else None)
     f = _scatter_kv_direct_vjp_fn(int(nbins), offs_key, bool(interpret),
-                                  int(T), bool(flat))
+                                  int(T))
     outr, outi = f(Wx.re, Wx.im, k, const_pad)
     return Complex(outr, outi)
 
 
 
-def _make_scatter_kernel(na_pad, nbins_pad, T, flat=False):
+def _make_scatter_kernel(na_pad, nbins_pad, T):
     def kernel(vre_r, vim_r, k_r, valid_r, offs_r, outr, outi, acc,
-               oaccr, oacci, *scr):
-        flat_scr = _split_flat_scr(scr) if flat else None
+               oaccr, oacci):
         dt = vre_r.dtype
         k = k_r[:]
         valid = valid_r[:] != 0
@@ -927,15 +806,14 @@ def _make_scatter_kernel(na_pad, nbins_pad, T, flat=False):
         vre = vre_r[:] * validf
         vim = vim_r[:] * validf
         _shift_scatter_core(vre, vim, dm, offs_r[:], na_pad, nbins_pad, T,
-                            acc, oaccr, oacci, outr, outi,
-                            flat_scr=flat_scr)
+                            acc, oaccr, oacci, outr, outi)
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=('nbins', 'perm', 'nat_key',
-                                             'interpret', 'T', 'flat'))
+                                             'interpret', 'T'))
 def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
-                  T=512, flat=False):
+                  T=512):
     na, N = vre.shape
     placement = _plan_positions(nat_key, na, nbins)
     na_pad = (placement[1] if placement is not None
@@ -968,7 +846,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
     k_ = prep(k)
     valid_ = prep((valid & (k >= 0) & (k < nbins)).astype(jnp.int32))
 
-    kernel = _make_scatter_kernel(na_pad, nbins_pad, T, flat=flat)
+    kernel = _make_scatter_kernel(na_pad, nbins_pad, T)
     bs = pl.BlockSpec((na_pad, T), lambda i: (0, i),
                       memory_space=pltpu.VMEM)
     os = pl.BlockSpec((nbins_pad, T), lambda i: (0, i),
@@ -984,8 +862,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
                    jax.ShapeDtypeStruct((nbins_pad, N_pad), dt)),
         scratch_shapes=[pltpu.VMEM(_acc_shape(na_pad, nbins_pad, T), dt),
                         pltpu.VMEM((nbins_pad, T), dt),
-                        pltpu.VMEM((nbins_pad, T), dt)] +
-                       (_flat_scratch(na_pad, T, dt) if flat else []),
+                        pltpu.VMEM((nbins_pad, T), dt)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -994,7 +871,7 @@ def _scatter_call(vre, vim, k, valid, nbins, perm, nat_key, interpret,
 
 
 @functools.lru_cache(maxsize=64)
-def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
+def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T):
     """custom_vjp: Pallas scatter forward; backward is the adjoint gather
     (via jax.vjp of the XLA scatter — bin indices are integer inputs and
     carry no tangent)."""
@@ -1006,7 +883,7 @@ def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
     @jax.custom_vjp
     def f(vre, vim, k, valid):
         return _scatter_call(vre, vim, k, valid, nbins, perm, nat_key,
-                             interpret, T=T, flat=flat)
+                             interpret, T=T)
 
     def f_fwd(*args):
         return f(*args), args
@@ -1020,20 +897,16 @@ def _scatter_vjp_fn(nbins, perm, nat_key, interpret, T, flat=False):
 
 
 def shift_scatter_pallas(vre, vim, k, valid, nbins, natural_bins=None,
-                         interpret=False, T=512, flat=None):
+                         interpret=False, T=512):
     """`out[k[i,j], j] += v[i,j]` via displacement shift passes.
     Any (na, nbins) geometry; out-of-range `k` dropped (XLA-scatter
     parity). `natural_bins` (static, len na) only tunes locality.
-    Differentiable in (vre, vim) (custom VJP: adjoint gather).
-    `flat=None` takes the config's `scatter_flat` tier-1 selection."""
-    if flat is None:
-        flat = _flat_default()
+    Differentiable in (vre, vim) (custom VJP: adjoint gather)."""
     na = vre.shape[-2]
     perm = _plan_perm(natural_bins, na)
     nat_key = (tuple(int(b) for b in np.asarray(natural_bins))
                if natural_bins is not None and len(natural_bins) == na
                else None)
-    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T),
-                        bool(flat))
+    f = _scatter_vjp_fn(int(nbins), perm, nat_key, bool(interpret), int(T))
     outr, outi = f(vre, vim, k, valid)
     return Complex(outr, outi)

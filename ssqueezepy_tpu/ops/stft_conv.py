@@ -347,15 +347,20 @@ def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
             tre, tim = tre_r[sl], tim_r[sl]
             Atre = Are * tre - Aim * tim
             Atim = Are * tim + Aim * tre
+            if band is not None:
+                # band-shift phase e[p] rides the stage-1 output digit p
+                # = the ROW of the (hk1, f2) block, so it applies as a
+                # column multiply BEFORE the stage-2 dot (w2 contracts
+                # over f2, not p) — a lane-offset row slice of e here
+                # instead would need an unsupported misaligned-layout
+                # broadcast (measured: Mosaic 'Invalid input layout')
+                ere = ere_r[0][sl, :]                  # (hk1, 1)
+                eim = eim_r[0][sl, :]
+                Atre, Atim = (Atre * ere - Atim * eim,
+                              Atre * eim + Atim * ere)
             Ere = _sdot(Atre, w2re) - _sdot(Atim, w2im)
             Eim = _sdot(Atre, w2im) + _sdot(Atim, w2re)
-            Sre, Sim = Ere.T * scale, Eim.T * scale
-            if band is not None:
-                ere = ere_r[0][:, sl]                  # (1, hk1)
-                eim = eim_r[0][:, sl]
-                Sre, Sim = (Sre * ere - Sim * eim,
-                            Sre * eim + Sim * ere)
-            return Sre, Sim, sl
+            return Ere.T * scale, Eim.T * scale, sl
 
         hre, him = hre_r[0], him_r[0]                  # (rows0, f2)
         Pre = hre * xre - him * xim
@@ -527,10 +532,12 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
              jnp.asarray(tre), jnp.asarray(tim),
              jnp.asarray(w2re), jnp.asarray(w2im)]
     if band is not None:
-        erow = pl.BlockSpec((1, 1, f1), rmap, memory_space=pltpu.VMEM)
+        # e as a per-row COLUMN (n_rows, f1, 1): the kernel applies it on
+        # the stage-1 block's sublane axis (see `half`)
+        erow = pl.BlockSpec((1, f1, 1), rmap, memory_space=pltpu.VMEM)
         in_specs += [erow, erow]
-        args += [etables[0].reshape(n_rows, 1, f1),
-                 etables[1].reshape(n_rows, 1, f1)]
+        args += [etables[0].reshape(n_rows, f1, 1),
+                 etables[1].reshape(n_rows, f1, 1)]
     outs = pl.pallas_call(
         kernel,
         grid=(na_pad,),
