@@ -95,7 +95,12 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                     xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,
                     params, gamma, flipud, interpret=interp,
                     deriv_lowprec=True, klims=klims, T=T_sc)
-                const_pad = jnp.pad(const.reshape(-1), (0, na_pad - na))
+                # const is per-scale (log-piecewise) or a broadcast
+                # scalar ('log'/'linear' grids) — the scatter wants one
+                # entry per padded row (0 = dummy tail)
+                const_pad = jnp.pad(
+                    jnp.broadcast_to(const.reshape(-1), (na,)),
+                    (0, na_pad - na))
                 TxF = scatter_kv_direct(WxF, k, const_pad, nbins,
                                         interpret=interp, T=T_sc)
                 Tx = Complex(TxF.re[:nbins, off:off + N],

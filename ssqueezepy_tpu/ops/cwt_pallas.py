@@ -69,7 +69,7 @@ def _dot_lo(a, b):
 
 def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                  dtype, na_mod=None, deriv_lowprec=False, rps=1,
-                 bin_spec=None, direct=None, n_alias=0):
+                 bin_spec=None, direct=None, n_alias=0, order2=None):
     # k1 is processed in halves to bound VMEM temporaries
     # (stage-1/twiddle/stage-2 intermediates halve)
     nh = 2 if f1 % 16 == 0 else 1
@@ -83,6 +83,18 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
     # (int16 halves the scatter's k input volume)
     assert direct is None or (bin_spec is not None and rps == 1
                               and na_mod is None)
+    # order2 (WSST2) bins mode: `order2` = the cdiv regularizer `tiny`.
+    # The kernel synthesizes the FIVE analysis banks (h, i xi h, i a h',
+    # -xi a h', -a^2 h'' — spectral factors of one wavelet row; the xi
+    # derivatives come from jax.grad of the elementwise spectral fn,
+    # exact), keeps the four auxiliary transforms in VMEM, solves the
+    # per-cell complex-chirp regression (models/ssq_cwt2._wsst2_rows is
+    # the XLA twin and correctness reference), and emits (W, k) in the
+    # scatter's layout.
+    assert order2 is None or (bin_spec is not None and direct is not None)
+    if order2 is not None:
+        _g1 = jax.grad(lambda w: jnp.sum(wavelet_fn(w, xp=jnp)))
+        _g2 = jax.grad(lambda w: jnp.sum(_g1(w)))
 
     def kernel(scale_r, invdt_r, xi_r, xhre_r, xhim_r, wre_r, wim_r,
                tre_r, tim_r, w2re_r, w2im_r, *rest):
@@ -111,6 +123,22 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
         xi = xi_r[:]                                   # (f2, rows0)
         w2re, w2im = w2re_r[:], w2im_r[:]              # (k2span, f2)
 
+        def _emit_k(out_ref, j, sl, h, k, valid):
+            if direct is None:
+                out_ref[j, :, sl] = jnp.where(valid, k, -1)
+            else:
+                col_off, N_valid, na_live, r0, kdtype = direct
+                # flattened time col n = k2*f1 + k1; valid data
+                # lives in [col_off, col_off + N_valid)
+                lin = (jax.lax.broadcasted_iota(jnp.int32, k.shape, 0)
+                       * f1
+                       + jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+                       + h * hk1)
+                ok = (valid & (lin >= col_off)
+                      & (lin < col_off + N_valid)
+                      & (r0 + i < na_live))
+                out_ref[j, :, sl] = jnp.where(ok, k, -1).astype(kdtype)
+
         # At small N each grid step's dots are tiny and the ~300-step
         # grid's fixed per-step cost dominates; `rps` scale rows are
         # processed per step (statically unrolled) so the grid shrinks
@@ -121,7 +149,8 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
             else:
                 scale = scale_r[jax.lax.rem(i, jnp.int32(na_mod)), 0]
             # xh arrives pre-masked (pad zeros + Nyquist/2 folded in)
-            psih = wavelet_fn(scale * xi, xp=jnp)
+            wg = scale * xi
+            psih = wavelet_fn(wg, xp=jnp)
             if not l1_norm:
                 psih = psih * jnp.sqrt(scale)
             Pre = psih * xh_re                         # (f2, rows0)
@@ -154,7 +183,7 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                         Ere, Eim, sl = half(-xid * Pim, xid * Pre, ddot, h)
                         outs[2][j, :, sl] = Ere
                         outs[3][j, :, sl] = Eim
-            else:
+            elif order2 is None:
                 # bin-output variant: the derivative rows never leave
                 # VMEM — the phase transform + bin map run right here on
                 # the freshly computed half blocks and only the int
@@ -170,21 +199,58 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                     k, valid = _phase_bin_math(Wre, Wim, Dre, Dim,
                                                dict(params), gamma,
                                                flipud, mode)
-                    if direct is None:
-                        outs[2][j, :, sl] = jnp.where(valid, k, -1)
-                    else:
-                        col_off, N_valid, na_live, r0, kdtype = direct
-                        # flattened time col n = k2*f1 + k1; valid data
-                        # lives in [col_off, col_off + N_valid)
-                        lin = (jax.lax.broadcasted_iota(
-                                   jnp.int32, k.shape, 0) * f1
-                               + jax.lax.broadcasted_iota(
-                                   jnp.int32, k.shape, 1) + h * hk1)
-                        ok = (valid & (lin >= col_off)
-                              & (lin < col_off + N_valid)
-                              & (r0 + i < na_live))
-                        outs[2][j, :, sl] = jnp.where(ok, k, -1) \
-                            .astype(kdtype)
+                    _emit_k(outs[2], j, sl, h, k, valid)
+            else:
+                # WSST2 bin-output variant: the four auxiliary banks
+                # (A = x'*h, B = x*th, Bd = x'*th, C = x*t^2 h) never
+                # leave VMEM; the per-cell chirp regression
+                # p2 = (Bd W - A B)/(B^2 - C W), p1 = (A + p2 B)/W and
+                # the corrected estimate w2 = |Im p1|/(2 pi dt) run on
+                # the fresh half blocks (XLA twin: _wsst2_rows)
+                from .ssq_pallas import _bins_from_w
+                params, gamma, flipud, mode = bin_spec
+                tiny = jnp.asarray(order2, Pre.dtype)
+                dpsih = _g1(wg)
+                d2psih = _g2(wg)
+                tb = scale * dpsih
+                t2b = (scale * scale) * d2psih
+                PA = (-xi * Pim, xi * Pre)
+                PB = (-(tb * xh_im), tb * xh_re)
+                PBd = (-xi * (tb * xh_re), -xi * (tb * xh_im))
+                PC = (-(t2b * xh_re), -(t2b * xh_im))
+                inv2pidt = invdt_r[0, 0] / (2 * np.pi)
+
+                def cmul(a, b):
+                    return (a[0] * b[0] - a[1] * b[1],
+                            a[0] * b[1] + a[1] * b[0])
+
+                def cdiv(a, b):
+                    d = b[0] * b[0] + b[1] * b[1] + tiny
+                    return ((a[0] * b[0] + a[1] * b[1]) / d,
+                            (a[1] * b[0] - a[0] * b[1]) / d)
+
+                for h in range(nh):
+                    Wre, Wim, sl = half(Pre, Pim, _dot, h)
+                    outs[0][j, :, sl] = Wre
+                    outs[1][j, :, sl] = Wim
+                    W = (Wre, Wim)
+                    A = half(PA[0], PA[1], ddot, h)[:2]
+                    B = half(PB[0], PB[1], ddot, h)[:2]
+                    Bd = half(PBd[0], PBd[1], ddot, h)[:2]
+                    C = half(PC[0], PC[1], ddot, h)[:2]
+                    nBdW, nAB = cmul(Bd, W), cmul(A, B)
+                    dBB, dCW = cmul(B, B), cmul(C, W)
+                    p2 = cdiv((nBdW[0] - nAB[0], nBdW[1] - nAB[1]),
+                              (dBB[0] - dCW[0], dBB[1] - dCW[1]))
+                    p2B = cmul(p2, B)
+                    p1 = cdiv((A[0] + p2B[0], A[1] + p2B[1]), W)
+                    w2 = jnp.abs(p1[1]) * inv2pidt
+                    valid = (Wre * Wre + Wim * Wim) \
+                        > jnp.asarray(gamma, Pre.dtype) ** 2
+                    w2 = jnp.where(valid & jnp.isfinite(w2), w2, jnp.inf)
+                    k, valid = _bins_from_w(w2, valid, dict(params),
+                                            flipud, mode)
+                    _emit_k(outs[2], j, sl, h, k, valid)
 
     return kernel
 
@@ -298,11 +364,11 @@ def cwt_pallas_applicable(wavelet, n_up, is_2d):
     jax.jit, static_argnames=('wavelet_ref', 'n_up', 'n1', 'N', 'deriv',
                               'l1_norm', 'dtype', 'interpret',
                               'deriv_lowprec', 'klims', 'bin_spec',
-                              'direct_T', 'kdtype'))
+                              'direct_T', 'kdtype', 'order2'))
 def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                     deriv, l1_norm, dtype, interpret=False,
                     deriv_lowprec=False, klims=None, bin_spec=None,
-                    direct_T=None, kdtype='int16'):
+                    direct_T=None, kdtype='int16', order2=None):
     # NOTE: a 3-stage in-VMEM variant (4x fewer MXU MACs) is blocked by
     # Mosaic's reshape constraint — any (lane-dim-crossing) reshape or
     # >2D dot flattening fails to lower ("tpu.reshape vector<...>"); the
@@ -310,13 +376,13 @@ def _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
     return _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref,
                             n_up, n1, N, deriv, l1_norm, dtype, interpret,
                             deriv_lowprec, klims, bin_spec, direct_T,
-                            kdtype)
+                            kdtype, order2)
 
 
 def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                      deriv, l1_norm, dtype, interpret=False,
                      deriv_lowprec=False, klims=None, bin_spec=None,
-                     direct_T=None, kdtype='int16'):
+                     direct_T=None, kdtype='int16', order2=None):
     from .fft import _factorize, _dft_matrix_np, _twiddle_np
     wavelet = wavelet_ref[0]
     f1, f2 = _factorize(n_up)
@@ -426,7 +492,7 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
         scl_all = jnp.pad(scales_col, ((0, na_pad - na), (0, 0)),
                           mode='edge')
         bufs = None
-        any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        any_spec = pl.BlockSpec(memory_space=pl.ANY)
         for (r0, r1, kb) in ranges:
             nb = r1 - r0
             in_specs = [
@@ -447,7 +513,7 @@ def _cwt_fused_call2(xh_re, xh_im, scales, inv_dt, wavelet_ref, n_up, n1, N,
                 wavelet.fn, kb, f1, f2, k2span, True, l1_norm,
                 jnp.dtype(dt_s), deriv_lowprec=deriv_lowprec,
                 bin_spec=bin_spec, direct=(off, N, na, r0, kdtype),
-                n_alias=n_alias)
+                n_alias=n_alias, order2=order2)
             args = [scl_all[r0:r1], invdt_a,
                     jnp.asarray(np.ascontiguousarray(xi_blk[:, :kb]),
                                 dt_s),
@@ -677,6 +743,67 @@ def _cwt_fused_bins_direct_vjp_fn(wavelet_ref, n_up, n1, N, l1_norm, dtype,
 
     f.defvjp(f_fwd, f_bwd)
     return f
+
+
+@functools.lru_cache(maxsize=32)
+def _cwt_fused_bins2_direct_vjp_fn(wavelet_ref, n_up, n1, N, l1_norm,
+                                   dtype, interpret, deriv_lowprec, klims,
+                                   bin_spec, direct_T, kdtype, tiny):
+    """custom_vjp for the WSST2 zero-prep bins variant: forward = Pallas
+    (W_full, k_full); backward = jax.vjp of the XLA W-only formulation on
+    the sliced W cotangent — identical contract to the first-order
+    direct variant (the chirp-corrected k is integer-valued, no
+    tangent)."""
+    wavelet = wavelet_ref[0]
+
+    def xla_ref(xh_re, xh_im, scales, inv_dt):
+        return _cwt_half_xla(xh_re, xh_im, scales, inv_dt, wavelet, n_up,
+                             n1, N, False, l1_norm, dtype)
+
+    @jax.custom_vjp
+    def f(xh_re, xh_im, scales, inv_dt):
+        return _cwt_fused_call(xh_re, xh_im, scales, inv_dt, wavelet_ref,
+                               n_up, n1, N, True, l1_norm, dtype,
+                               interpret, deriv_lowprec, klims, bin_spec,
+                               direct_T, kdtype, order2=tiny)
+
+    def f_fwd(*args):
+        return f(*args), args
+
+    def f_bwd(args, g):
+        from .fft import _factorize
+        na = args[2].shape[0]
+        off = n1 % _factorize(n_up)[0]
+        _, vjp = jax.vjp(xla_ref, *args)
+        return vjp((g[0][:na, off:off + N], g[1][:na, off:off + N]))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def cwt_fused_bins2_direct(xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,
+                           params, gamma, flipud, tiny, interpret=False,
+                           deriv_lowprec=True, klims=None, T=1024,
+                           kdtype='int16'):
+    """Zero-prep fused WSST2: CWT + four VMEM-only auxiliary transforms
+    + per-cell chirp regression + bin map in ONE kernel; returns
+    (W_full, k_full, off) in the scatter's layout (same contract as
+    `cwt_fused_bins_direct`). `tiny` regularizes the complex divides
+    (matches models/ssq_cwt2._wsst2_rows, the XLA correctness twin)."""
+    dtype = str(xh.re.dtype)
+    scales = scales_j.reshape(-1)
+    inv_dt = jnp.asarray(1.0, dtype) / jnp.asarray(dt, dtype)
+    bin_spec = (tuple(sorted(params.items())), float(gamma), bool(flipud),
+                params['mode'])
+    f = _cwt_fused_bins2_direct_vjp_fn(
+        (wavelet,), int(n_up), int(n1), int(N), bool(l1_norm), dtype,
+        bool(interpret), bool(deriv_lowprec),
+        klims if klims is None else tuple(klims), bin_spec, int(T),
+        str(kdtype), float(tiny))
+    Wre, Wim, k = f(xh.re, xh.im, scales, inv_dt)
+    from .fft import _factorize
+    off = n1 % _factorize(n_up)[0]
+    return Complex(Wre, Wim), k, off
 
 
 def cwt_fused_bins_direct(xh, scales_j, wavelet, n_up, n1, N, dt, l1_norm,

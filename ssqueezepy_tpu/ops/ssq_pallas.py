@@ -295,7 +295,6 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
     (or |Sfs - .|), gamma-gated, mapped through the lin/log/log-piecewise
     bin arithmetic (reference algos.py:859-984). Returns (k int32,
     valid bool)."""
-    omax = params['omax']
     dt = C.dtype
     denom = (C * C + D * D)
     w = (B * C - A * D) / (denom * _TWO_PI)
@@ -305,6 +304,16 @@ def _phase_bin_math(C, D, A, B, params, gamma, flipud, mode, sfs=None):
         w = jnp.abs(w)
     valid = denom > jnp.asarray(gamma, dt) ** 2
     w = jnp.where(valid, w, jnp.inf)
+    return _bins_from_w(w, valid, params, flipud, mode)
+
+
+def _bins_from_w(w, valid, params, flipud, mode):
+    """Bin map for a PRECOMPUTED reassignment frequency plane `w`
+    (inf-marked where gated): the lin/log/log-piecewise arithmetic tail
+    of `_phase_bin_math`, shared with the order-2 kernels whose `w` is
+    the chirp-corrected estimate. Returns (k int32, valid bool)."""
+    omax = params['omax']
+    dt = w.dtype
 
     if mode == 'lin':
         k = jnp.minimum(jnp.round(jnp.maximum(

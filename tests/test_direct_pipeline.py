@@ -159,6 +159,28 @@ def test_ssq_cwt_routes_direct_and_tx_only():
     assert np.array_equal(Tx_o, Tx_p)
 
 
+def test_ssq_cwt_direct_scalar_const():
+    """Custom geomspace scales infer 'log' scaletype whose squeeze
+    const is a broadcast SCALAR (not per-scale): the direct pipeline
+    must broadcast it to the padded row count (round-5 regression —
+    the on-chip pytest tier caught a reshape crash here)."""
+    N = 2048
+    x = rng.standard_normal(N).astype(np.float32)
+    scales = np.geomspace(1., 24., 65).reshape(-1, 1)
+    kw = dict(scales=scales, nv=None)
+    Tx_c, Wx_c, _, _ = stq.ssq_cwt(x, ('gmw', {'dtype': 'float32'}),
+                                   astensor=False, **kw)
+    configure(backend='tpu', pallas_interpret=True)
+    try:
+        Tx_p, Wx_p, _, _ = stq.ssq_cwt(x, ('gmw', {'dtype': 'float32'}),
+                                       astensor=False, **kw)
+    finally:
+        reset_config()
+    m = np.abs(Tx_c).max()
+    assert np.abs(Wx_p - Wx_c).max() < 1e-5
+    assert np.abs(Tx_p.sum(-2) - Tx_c.sum(-2)).max() / m < 5e-5
+
+
 def test_ssq_stft_routes_direct():
     N = 600
     x = rng.standard_normal(N).astype(np.float32)
