@@ -146,7 +146,8 @@ def _wsst2_rows(xh, scales_j, fns, n_up, n1, N_out, dt, gamma, dtype,
 @functools.lru_cache(maxsize=16)
 def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
                   squeezing, param_items, gamma, natural_key, wavelet_ref,
-                  const_key, padtype, fused_tx):
+                  const_key, padtype, fused_tx, need_w2=False, klims=None,
+                  cfg_key=None):
     """Cached fused WSST2 jit: raw signal -> (Tx, Wx, w2). L1-normed
     (the reassignment ratios are norm-invariant; ssq uses L1, matching
     `ssq_cwt`). `fused_tx=False` (callable squeezing) returns
@@ -159,6 +160,55 @@ def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
     logscale = params['mode'] != 'lin'
     fn, g1, g2 = _wavelet_grad_fns(wavelet)
     tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
+
+    # fused Pallas WSST2 (round-5): the five analysis banks synthesize
+    # in ONE kernel and the four auxiliary transforms never leave VMEM
+    # (ops/cwt_pallas._make_kernel order2 branch); the chirp-corrected
+    # bin plane feeds the zero-prep direct scatter. Mirrors ssq_cwt's
+    # fast path; XLA path below is the correctness twin and serves
+    # get_w / batched / callable-squeezing calls.
+    use_fused = False
+    if fused_tx and not need_w2 and gamma is not None and not is_2d \
+            and padtype is not None and squeezing in (None, 'sum'):
+        from ..ops.ssq_kernels import _pallas_enabled
+        from ..ops.cwt_pallas import cwt_pallas_applicable
+        use_pallas, interp = _pallas_enabled()
+        if use_pallas and cwt_pallas_applicable(wavelet, n_up, False):
+            na = (len(natural_bins) if natural_bins is not None else 0)
+            use_fused = (natural_bins is not None and
+                         np.array_equal(natural_bins, np.arange(na)))
+    if use_fused:
+        from ..ops.fft import fft as _fft
+        from ..ops.cwt_pallas import cwt_fused_bins2_direct
+        from ..ops.ssq_pallas import scatter_kv_direct
+        from ..configs import get_config
+        lowprec = bool(get_config().ssq_lowprec_deriv)
+        nbins = params['omax'] + 1
+        T_sc = 1024
+        na = len(natural_bins)
+        na_pad = -(-na // 32) * 32
+
+        def run(xj, scales_j, dt, const):
+            xj = xj.astype(dtype)
+            xj = jnp.where(jnp.isfinite(xj), xj, 0)
+            xp_pad = padsignal(xj, padtype)
+            xh = fft(Complex(xp_pad, jnp.zeros_like(xp_pad)), axis=-1,
+                     out_range=(0, half), imag_zero=True)
+            WxF, k, off = cwt_fused_bins2_direct(
+                xh, scales_j, wavelet, n_up, n1, N, dt, True, params,
+                gamma, flipud, tiny, interpret=interp,
+                deriv_lowprec=lowprec, klims=klims, T=T_sc)
+            const_pad = jnp.pad(
+                jnp.broadcast_to(const.reshape(-1), (na,)),
+                (0, na_pad - na))
+            TxF = scatter_kv_direct(WxF, k, const_pad, nbins,
+                                    interpret=interp, T=T_sc)
+            Tx = Complex(TxF.re[:nbins, off:off + N],
+                         TxF.im[:nbins, off:off + N])
+            Wx = Complex(WxF.re[:na, off:off + N],
+                         WxF.im[:na, off:off + N])
+            return Tx, Wx, None
+        return jax.jit(run)
 
     def run(xj, scales_j, dt, const):
         xj = xj.astype(dtype)
@@ -233,12 +283,22 @@ def ssq_cwt2(x, wavelet='gmw', scales='log-piecewise', nv=None, fs=None,
     xj = (xnp if isinstance(xnp, jax.Array) and str(xnp.dtype) == dtype
           else jnp.asarray(xnp, dtype=dtype))
     sq_str = squeezing if isinstance(squeezing, str) else None
+    # stage-1 support pruning for the fused kernel: the wavelet-support
+    # row limits, +1 extra K-row margin for the derivative banks (a h',
+    # a^2 h'' decay like h times a polynomial — one extra f2-wide row
+    # covers the tail extension at f32 resolution)
+    from ..ops.cwt_pallas import support_klims
+    klims = support_klims(wavelet, scales_np, n_up)
+    if klims is not None:
+        klims = tuple(int(k) + 1 for k in klims)
+    from ..configs import exec_config_key
     runner = _ssq_cwt2_jit(
         _wavelet_key(wavelet), xnp.shape, dtype, n_up, n1, N, is_2d,
         bool(flipud), sq_str, tuple(sorted(params.items())), gamma,
         tuple(natural.tolist()) if natural is not None else None,
         (wavelet,), str(np.asarray(const).shape), padtype,
-        fused_tx=(sq_str is not None))
+        fused_tx=(sq_str is not None), need_w2=bool(get_w), klims=klims,
+        cfg_key=exec_config_key())
     scales_j, const_j = _device_plan_arrays(devkey, scales_np, const,
                                             dtype)
     from .cwt import _device_scalar

@@ -400,7 +400,7 @@ def _fsst2_bank(window, win_len, n_fft, dtype):
 def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
                         padlength, Np2, fs_val, flipud, squeezing,
                         param_items, gamma, natural_key, sfs_key,
-                        const_val, fused_tx):
+                        const_val, fused_tx, need_w2=False, cfg_key=None):
     """Cached fused FSST2 jit: raw signal -> (Tx, V, w2). The five
     window STFTs (g, g', tg, tg', g'') share ONE forward FFT — the
     (5*n_rows, Np2) filterbank bank multiplies the signal spectrum and
@@ -422,10 +422,58 @@ def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
     # device tables built EAGERLY (outside any trace) and passed as jit
     # ARGUMENTS — closed-over device arrays inline as jaxpr constants
     # and lowering fetches them to host (minutes at large N)
-    tables = _device_filterbank_multi(bank_key, int(n_fft), int(Np2),
-                                      bool(modulated), dtype)
     tiny = float(np.finfo(np.dtype(dtype)).tiny * 1e3)
     fs_f = float(fs_val)
+
+    # fused Pallas FSST2 (round-5): the five banded window transforms +
+    # chirp-rate correction + bin map run in ONE table kernel (only
+    # V = S^g leaves VMEM; ops/stft_conv.fsst2_pallas_rows) feeding the
+    # zero-prep direct scatter. The XLA path below is the correctness
+    # twin and serves get_w / batched / callable-squeezing / unbanded
+    # calls.
+    use_fused = False
+    if fused_tx and not need_w2 and not is_2d \
+            and squeezing in (None, 'sum') and natural is not None \
+            and np.array_equal(natural, np.arange(n_rows)):
+        from ..ops.ssq_kernels import _pallas_enabled
+        from ..ops.stft_conv import (_stft_pallas_applicable,
+                                     _device_fsst2_tables)
+        use_pallas, interp = _pallas_enabled()
+        if use_pallas and _stft_pallas_applicable(int(Np2), shape):
+            fused_tabs = _device_fsst2_tables(bank_key, int(n_fft),
+                                              int(Np2), bool(modulated),
+                                              dtype)
+            use_fused = fused_tabs is not None
+    if use_fused:
+        from ..ops.stft_conv import fsst2_pallas_rows
+        from ..ops.ssq_pallas import scatter_kv_direct
+        tabs, band_plan = fused_tabs
+        nbins = params['omax'] + 1
+        T_sc = 1024
+        na_pad = -(-n_rows // 32) * 32
+        const_pad = jnp.asarray(np.pad(
+            np.full(n_rows, const, dtype), (0, na_pad - n_rows)))
+
+        def run(xj, *tabs_a):
+            xj = xj.astype(dtype)
+            xp = padsignal(xj, padtype, padlength=padlength)
+            xh = fft(Complex(xp, jnp.zeros_like(xp)), n=Np2,
+                     imag_zero=True)
+            VF, k = fsst2_pallas_rows(
+                xh, fs_f, tabs_a, n_rows, int(Np2), N, Sfs_np, params,
+                gamma, flipud, tiny, band_plan, direct_T=T_sc,
+                interpret=interp)
+            TxF = scatter_kv_direct(VF, k, const_pad, nbins,
+                                    interpret=interp, T=T_sc)
+            Tx = Complex(TxF.re[:nbins, :N], TxF.im[:nbins, :N])
+            V = Complex(VF.re[:n_rows, :N], VF.im[:n_rows, :N])
+            return Tx, V, None
+
+        jitted = jax.jit(run)
+        return lambda xj: jitted(xj, *tabs)
+
+    tables = _device_filterbank_multi(bank_key, int(n_fft), int(Np2),
+                                      bool(modulated), dtype)
 
     def run(xj, Hre, Him):
         xj = xj.astype(dtype)
@@ -504,9 +552,10 @@ def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
         return spec                        # None or str
 
     sq_str = squeezing if isinstance(squeezing, str) else None
+    from ..configs import exec_config_key as _eck
     plankey = (wkey(window), wkey(ssq_freqs), xnp.shape, n_fft_, win_len,
                float(fs_), bool(modulated), padtype, dtype_, gamma,
-               bool(flipud), sq_str)
+               bool(flipud), sq_str, bool(get_w), _eck())
     plan = _SSQ_STFT2_PLANS.get(plankey)
     if plan is None:
         bank_key = _bank_key(_fsst2_bank(window, win_len, n_fft_, dtype_))
@@ -520,12 +569,14 @@ def ssq_stft2(x, window=None, n_fft=None, win_len=None, fs=None, t=None,
         natural = _natural_bins('stft', None, sfreqs, params, flipud,
                                 n_rows, 1. / fs_)
         padlength = N + n_fft_ - 1
+        from ..configs import exec_config_key
         runner = _ssq_stft2_fast_jit(
             xnp.shape, dtype_, n_fft_, bool(modulated), bank_key, padtype,
             padlength, int(_next_fft_len(padlength)), float(fs_),
             bool(flipud), sq_str, tuple(sorted(params.items())), gamma,
             tuple(natural.tolist()) if natural is not None else None,
-            tuple(Sfs.tolist()), const, fused_tx=(sq_str is not None))
+            tuple(Sfs.tolist()), const, fused_tx=(sq_str is not None),
+            need_w2=bool(get_w), cfg_key=exec_config_key())
         plan = (runner, Sfs, sfreqs, const, params, natural)
         _SSQ_STFT2_PLANS[plankey] = plan
     runner, Sfs, sfreqs, const, params, natural = plan

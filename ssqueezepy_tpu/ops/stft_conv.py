@@ -250,6 +250,94 @@ def _device_filterbank_multi(bank_key, n_fft, Np2, modulated, dtype):
     return hit
 
 
+@functools.lru_cache(maxsize=8)
+def _band_plan_bank(bank_key, n_fft, Np2, modulated):
+    """Shared per-row banded support for a window BANK (the FSST2
+    five-window family): the `_band_plan` geometry computed on the
+    rowwise MAX |H| over all bank members, so one (r0, br) serves every
+    window. Returns ((r0,), br) or None when banding doesn't pay."""
+    from .fft import _factorize
+    factors = _factorize(Np2)
+    if len(factors) != 2:
+        return None
+    f2 = factors[1]
+    rows0 = Np2 // f2
+    Hre, Him = _conv_filterbank_multi(bank_key, n_fft, Np2, modulated,
+                                      'float64')
+    n_w = len(_BANK_CACHE[bank_key])
+    n_rows = n_fft // 2 + 1
+    mag = np.abs(Hre + 1j * Him).reshape(n_w, n_rows, Np2).max(0)
+    magr = mag.reshape(n_rows, rows0, f2)
+    msum = magr.sum(-1)
+    mmax = magr.max(-1)
+    r0 = np.zeros(n_rows, np.int64)
+    br = 8
+    for k in range(n_rows):
+        c = int(mmax[k].argmax())
+        off = ((np.arange(rows0) - c + rows0 // 2) % rows0) - rows0 // 2
+        drop_order = np.argsort(-np.abs(off))
+        cum = np.cumsum(msum[k][drop_order])
+        ndrop = int(np.searchsorted(cum, _BAND_EPS_MASS * cum[-1]))
+        keep_off = off[drop_order[ndrop:]]
+        lo = (c + int(keep_off.min())) % rows0
+        lo8 = (lo // 8) * 8
+        r0[k] = lo8
+        br = max(br, int(keep_off.max() - keep_off.min()) + 1
+                 + (lo - lo8))
+    br = min(-(-br // 8) * 8, rows0)
+    if br > rows0 // 2:
+        return None
+    return tuple(int(v) for v in r0), int(br)
+
+
+@functools.lru_cache(maxsize=8)
+def _fsst2_tables_packed(bank_key, n_fft, Np2, modulated, dtype):
+    """Band-packed five-window FSST2 tables: returns
+    (H list of (n_w, n_rows, br, f2) re/im pairs flattened window-major,
+    ere, eim) as numpy, or None when banding doesn't pay. The band-shift
+    phase tables come back COLUMN-shaped (n_rows, f1, 1) — the kernels
+    apply them on the stage-1 block's sublane axis."""
+    from .fft import _factorize
+    plan = _band_plan_bank(bank_key, n_fft, Np2, modulated)
+    if plan is None:
+        return None
+    r0, br = plan
+    f1, f2 = _factorize(Np2)
+    rows0 = Np2 // f2
+    Hre, Him = _conv_filterbank_multi(bank_key, n_fft, Np2, modulated,
+                                      dtype)
+    n_w = len(_BANK_CACHE[bank_key])
+    n_rows = n_fft // 2 + 1
+    r0a = np.asarray(r0, np.int64)
+    take = (r0a[:, None] + np.arange(br)) % rows0      # (n_rows, br)
+    packed = []
+    for i in range(n_w):
+        for arr in (Hre, Him):
+            Hr = arr[i * n_rows:(i + 1) * n_rows].reshape(n_rows, rows0,
+                                                          f2)
+            packed.append(np.take_along_axis(Hr, take[:, :, None],
+                                             axis=1))
+    e = np.exp((2j * np.pi / f1) * np.outer(r0a, np.arange(f1)))
+    packed.append(e.real.astype(dtype).reshape(n_rows, f1, 1))
+    packed.append(e.imag.astype(dtype).reshape(n_rows, f1, 1))
+    return tuple(packed), plan
+
+
+def _device_fsst2_tables(bank_key, n_fft, Np2, modulated, dtype):
+    key = ('fsst2', bank_key, n_fft, Np2, modulated, dtype)
+    hit = _FB_DEV_CACHE.get(key)
+    if hit is None:
+        packed = _fsst2_tables_packed(bank_key, n_fft, Np2, modulated,
+                                      dtype)
+        if packed is None:
+            _FB_DEV_CACHE[key] = None
+            return None
+        arrs, plan = packed
+        hit = (tuple(jnp.asarray(a) for a in arrs), plan)
+        _FB_DEV_CACHE[key] = hit
+    return hit
+
+
 @functools.lru_cache(maxsize=16)
 def _stft_conv_jit(shape, dtype, Np2, N_out, derivative, padtype,
                    padlength):
@@ -559,6 +647,177 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
     if derivative:
         return Sx, Complex(outs[2], outs[3])
     return Sx, None
+
+
+def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
+                      gamma, flipud, tiny, band, direct_T=1024,
+                      kdtype='int16', interpret=False):
+    """Five-window FSST2 rows from a precomputed full-length spectrum:
+    returns (V, k) in the zero-prep scatter layout (na_pad, W) — V the
+    analysis STFT, k the chirp-corrected int bin plane. `tables` = the
+    12-tuple from `_device_fsst2_tables` (band-packed (n_rows, br, f2)
+    re/im per window + (n_rows, f1, 1) shift-phase pair); `band` its
+    (r0, br) plan. Traceable."""
+    from .fft import _dft_matrix_np, _twiddle_np
+    from .ssq_pallas import _bins_from_w
+    f1, f2 = _factorize(Np2)
+    rows0 = Np2 // f2
+    r0_np, br = band
+    k2hi = -(-N_out // f1)
+    while (k2hi * f1) % direct_T:
+        k2hi += 1
+    k2span = k2hi
+    dt_s = str(xh.re.dtype)
+    out_w = k2span * f1
+    na_pad = -(-n_rows // 32) * 32
+    nh = 2 if f1 % 16 == 0 else 1
+    hk1 = f1 // nh
+
+    wre, wim = _dft_matrix_np(f1, +1, 'float64')
+    wre = (wre[:, :br] / Np2).astype(dt_s)
+    wim = (wim[:, :br] / Np2).astype(dt_s)
+    tre, tim = _twiddle_np(Np2, f1, f2, +1, 'float64')
+    tre, tim = tre.astype(dt_s), tim.astype(dt_s)
+    w2re, w2im = _dft_matrix_np(f2, +1, 'float64')
+    k2rows = np.arange(k2hi) % f2
+    w2re = np.ascontiguousarray(w2re[k2rows].T).astype(dt_s)
+    w2im = np.ascontiguousarray(w2im[k2rows].T).astype(dt_s)
+
+    def kernel(fs_r, sfs_r, r0_r, xhre_r, xhim_r, *refs):
+        H = refs[:10]                            # 5 windows re/im
+        ere_r, eim_r = refs[10], refs[11]
+        (wre_r, wim_r, tre_r, tim_r, w2re_r, w2im_r) = refs[12:18]
+        outs = refs[18:]
+        i = pl.program_id(0)
+        fs = fs_r[0, 0]
+        sfs = sfs_r[i, 0]
+        r0v = pl.multiple_of(r0_r[i, 0], 8)
+        xre = xhre_r[pl.ds(r0v, br), :]          # (br, f2)
+        xim = xhim_r[pl.ds(r0v, br), :]
+        tiny_v = jnp.asarray(tiny, xre.dtype)
+        inv2pi = jnp.asarray(1.0 / (2 * np.pi), xre.dtype)
+
+        def cmul(a, b):
+            return (a[0] * b[0] - a[1] * b[1],
+                    a[0] * b[1] + a[1] * b[0])
+
+        def cdiv(a, b):
+            d = b[0] * b[0] + b[1] * b[1] + tiny_v
+            return ((a[0] * b[0] + a[1] * b[1]) / d,
+                    (a[1] * b[0] - a[0] * b[1]) / d)
+
+        def stages(Pre, Pim, h):
+            sl = slice(h * hk1, (h + 1) * hk1)
+            wre_, wim_ = wre_r[sl], wim_r[sl]
+            Are = _sdot(wre_, Pre) - _sdot(wim_, Pim)
+            Aim = _sdot(wre_, Pim) + _sdot(wim_, Pre)
+            tre_, tim_ = tre_r[sl], tim_r[sl]
+            Atre = Are * tre_ - Aim * tim_
+            Atim = Are * tim_ + Aim * tre_
+            ere = ere_r[0][sl, :]
+            eim = eim_r[0][sl, :]
+            Atre, Atim = (Atre * ere - Atim * eim,
+                          Atre * eim + Atim * ere)
+            Ere = _sdot(Atre, w2re_r[:]) - _sdot(Atim, w2im_r[:])
+            Eim = _sdot(Atre, w2im_r[:]) + _sdot(Atim, w2re_r[:])
+            return Ere.T, Eim.T, sl              # (k2span, hk1)
+
+        Ps = []
+        for w in range(5):
+            hre, him = H[2 * w][0], H[2 * w + 1][0]    # (br, f2)
+            Ps.append((hre * xre - him * xim,
+                       hre * xim + him * xre))
+
+        for h in range(nh):
+            V = stages(Ps[0][0], Ps[0][1], h)[:2]
+            Vg1 = stages(Ps[1][0], Ps[1][1], h)[:2]
+            Vt = stages(Ps[2][0], Ps[2][1], h)[:2]
+            Vtd = stages(Ps[3][0], Ps[3][1], h)[:2]
+            Vd2 = stages(Ps[4][0], Ps[4][1], h)[:2]
+            sl = slice(h * hk1, (h + 1) * hk1)
+            outs[0][0, :, sl] = V[0]
+            outs[1][0, :, sl] = V[1]
+            # w1 = Sfs - fs Im(Vg1/V)/2pi;  q = Im(N2/D2)
+            # w2 = |w1 + (fs/2pi) q Re(Vt/V)|  (XLA twin _fsst2_rows)
+            w1 = sfs - fs * cdiv(Vg1, V)[1] * inv2pi
+            trel = cdiv(Vt, V)[0]
+            g1sq = cmul(Vg1, Vg1)
+            N2 = cmul(Vd2, V)
+            N2 = (N2[0] - g1sq[0], N2[1] - g1sq[1])
+            tg1 = cmul(Vt, Vg1)
+            D2 = cmul(Vtd, V)
+            D2 = (D2[0] - tg1[0], D2[1] - tg1[1])
+            q = cdiv(N2, D2)[1]
+            w2 = jnp.abs(w1 + (fs * inv2pi) * q * trel)
+            valid = (V[0] * V[0] + V[1] * V[1]) \
+                > jnp.asarray(gamma_, xre.dtype) ** 2
+            w2 = jnp.where(valid & jnp.isfinite(w2), w2, jnp.inf)
+            k, valid = _bins_from_w(w2, valid, dict(params_), flipud_,
+                                    mode_)
+            lin = (jax.lax.broadcasted_iota(jnp.int32, k.shape, 0) * f1
+                   + jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+                   + h * hk1)
+            ok = valid & (lin < N_out) & (i < n_rows)
+            outs[2][0, :, sl] = jnp.where(ok, k, -1).astype(kdtype)
+
+    params_ = tuple(sorted(params.items()))
+    gamma_, flipud_, mode_ = float(gamma), bool(flipud), params['mode']
+
+    const = lambda shape: pl.BlockSpec(
+        shape, (lambda i: (0,) * len(shape)), memory_space=pltpu.VMEM)
+    rmap = lambda i: (jnp.minimum(i, n_rows - 1), 0, 0)
+    row = pl.BlockSpec((1, br, f2), rmap, memory_space=pltpu.VMEM)
+    erow = pl.BlockSpec((1, f1, 1), rmap, memory_space=pltpu.VMEM)
+    smem_col = pl.BlockSpec((na_pad, 1), lambda i: (0, 0),
+                            memory_space=pltpu.SMEM)
+    in_specs = [pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                smem_col, smem_col,
+                const((rows0 + br, f2)), const((rows0 + br, f2))]
+    in_specs += [row] * 10 + [erow, erow]
+    in_specs += [const((f1, br)), const((f1, br)),
+                 const((f1, f2)), const((f1, f2)),
+                 const((f2, k2span)), const((f2, k2span))]
+
+    def padcol(a, dtype=None):
+        a = jnp.asarray(a).reshape(n_rows, 1)
+        if dtype is not None:
+            a = a.astype(dtype)
+        if na_pad != n_rows:
+            a = jnp.pad(a, ((0, na_pad - n_rows), (0, 0)), mode='edge')
+        return a
+
+    xre_b = xh.re.reshape(rows0, f2)
+    xim_b = xh.im.reshape(rows0, f2)
+    xre_b = jnp.concatenate([xre_b, xre_b[:br]], 0)
+    xim_b = jnp.concatenate([xim_b, xim_b[:br]], 0)
+    args = ([jnp.asarray(fs, dt_s).reshape(1, 1),
+             padcol(np.asarray(sfs, dt_s)),
+             padcol(np.asarray(r0_np, np.int32))]
+            + [xre_b, xim_b]
+            + [t.reshape(n_rows, br, f2) for t in tables[:10]]
+            + [tables[10].reshape(n_rows, f1, 1),
+               tables[11].reshape(n_rows, f1, 1)]
+            + [jnp.asarray(wre), jnp.asarray(wim),
+               jnp.asarray(tre), jnp.asarray(tim),
+               jnp.asarray(w2re), jnp.asarray(w2im)])
+    out_spec = pl.BlockSpec((1, k2span, f1), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(na_pad,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((na_pad, k2span, f1), dt_s),
+                   jax.ShapeDtypeStruct((na_pad, k2span, f1), dt_s),
+                   jax.ShapeDtypeStruct((na_pad, k2span, f1), kdtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    V = Complex(outs[0].reshape(na_pad, out_w),
+                outs[1].reshape(na_pad, out_w))
+    return V, outs[2].reshape(na_pad, out_w)
 
 
 @functools.lru_cache(maxsize=8)

@@ -178,3 +178,49 @@ def test_wsst2_scale_and_freq_grids():
     Tx, *_ = stq.ssq_cwt2(x, scales='log', ssq_freqs='linear',
                           astensor=False)
     assert np.isfinite(np.abs(Tx)).all()
+
+
+def test_wsst2_fused_pallas_routes_and_matches():
+    """Round-5 fused Pallas WSST2 (one kernel: five banks + chirp
+    regression + bin map, zero-prep scatter) vs the XLA path — the
+    interpret-mode twin of the on-chip pipeline. W must match tightly;
+    Tx column sums (inversion integral, immune to the lowprec +-1-bin
+    flips) tightly; full planes loosely."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    N = 2048
+    rng = np.random.default_rng(3)
+    x = (np.cos(2 * np.pi * (0.02 * np.arange(N)
+                             + 0.3 / (2 * N) * np.arange(N) ** 2))
+         + 0.1 * rng.standard_normal(N)).astype(np.float32)
+    kw = dict(scales='log-piecewise', nv=8)
+    Tx_c, Wx_c, fr_c, _ = stq.ssq_cwt2(x, ('gmw', {'dtype': 'float32'}),
+                                       astensor=False, **kw)
+    import ssqueezepy_tpu.ops.cwt_pallas as _cp
+    calls, orig = [], _cp.cwt_fused_bins2_direct
+    _cp.cwt_fused_bins2_direct = \
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    try:
+        # full-precision aux banks: tight agreement (isolated bin-
+        # boundary flips only)
+        configure(backend='tpu', pallas_interpret=True,
+                  ssq_lowprec_deriv=False)
+        Tx_f, Wx_f, fr_p, _ = stq.ssq_cwt2(
+            x, ('gmw', {'dtype': 'float32'}), astensor=False, **kw)
+        # default lowprec aux banks: +-1-bin flips on borderline cells;
+        # the inversion integral and energy are flip-invariant
+        configure(ssq_lowprec_deriv=True)
+        Tx_p, Wx_p, _, _ = stq.ssq_cwt2(
+            x, ('gmw', {'dtype': 'float32'}), astensor=False, **kw)
+    finally:
+        reset_config()
+        _cp.cwt_fused_bins2_direct = orig
+    assert calls, "fused WSST2 kernel did not engage"
+    assert np.allclose(fr_p, fr_c)
+    m = np.abs(Tx_c).max()
+    for Wx_x in (Wx_f, Wx_p):
+        assert np.abs(Wx_x - Wx_c).max() / np.abs(Wx_c).max() < 2e-5
+    assert (np.abs(Tx_f - Tx_c) > 1e-3 * m).mean() < 0.02
+    for Tx_x in (Tx_f, Tx_p):
+        assert np.abs(Tx_x.sum(-2) - Tx_c.sum(-2)).max() / m < 1e-4
+        e_x, e_c = np.abs(Tx_x).sum(), np.abs(Tx_c).sum()
+        assert abs(e_x - e_c) / e_c < 0.02

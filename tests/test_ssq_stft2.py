@@ -122,3 +122,40 @@ def test_fsst2_batched_matches_single():
     Tx1, *_ = stq.ssq_stft2(x1, n_fft=n_fft, astensor=False)
     assert Txb.shape[0] == 2
     assert np.abs(Txb[0] - Tx1).max() / np.abs(Tx1).max() < 1e-5
+
+
+def test_fsst2_fused_pallas_routes_and_matches():
+    """Round-5 fused FSST2 table kernel (five banded window transforms
+    + chirp-rate correction + bin map in one kernel, zero-prep scatter)
+    vs the XLA path, interpret mode. V tight; Tx column sums tight;
+    isolated bin-boundary flips tolerated on the full plane."""
+    from ssqueezepy_tpu.configs import configure, reset_config
+    import ssqueezepy_tpu.ops.stft_conv as _sc
+    # N + n_fft - 1 in (3840, 4096]: Np2 = 4096 = 64 x 64, the fused
+    # table kernel's applicability window
+    N, n_fft = 3800, 256
+    rng = np.random.default_rng(5)
+    n = np.arange(N)
+    x = (np.cos(2 * np.pi * (0.05 * n + 0.1 / (2 * N) * n ** 2))
+         + 0.1 * rng.standard_normal(N)).astype(np.float32)
+    Tx_c, V_c, fr_c, _ = stq.ssq_stft2(x, n_fft=n_fft, dtype='float32',
+                                       astensor=False)
+    calls, orig = [], _sc.fsst2_pallas_rows
+    _sc.fsst2_pallas_rows = \
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    configure(backend='tpu', pallas_interpret=True)
+    try:
+        Tx_p, V_p, fr_p, _ = stq.ssq_stft2(x, n_fft=n_fft,
+                                           dtype='float32',
+                                           astensor=False)
+    finally:
+        reset_config()
+        _sc.fsst2_pallas_rows = orig
+    assert calls, "fused FSST2 kernel did not engage"
+    assert np.allclose(fr_p, fr_c)
+    m = np.abs(Tx_c).max()
+    assert np.abs(V_p - V_c).max() / np.abs(V_c).max() < 2e-5
+    assert np.abs(Tx_p.sum(-2) - Tx_c.sum(-2)).max() / m < 1e-4
+    assert (np.abs(Tx_p - Tx_c) > 1e-3 * m).mean() < 0.05
+    e_p, e_c = np.abs(Tx_p).sum(), np.abs(Tx_c).sum()
+    assert abs(e_p - e_c) / e_c < 0.02
