@@ -449,4 +449,29 @@ def dryrun_multichip(n_devices):
     assert xr2.shape == (B, N) and np.isfinite(xr2).all()
     xr2_1 = stq.issq_cwt(Tx_1, ('gmw', {'dtype': 'float32'}))
     assert _rel(xr2, xr2_1) < 1e-3
+
+    # streaming + multirate (round-5): single-device programs, but the
+    # driver's gate covers everything the product ships — a chunked
+    # online run must compile, run, and match the offline transform's
+    # column sums away from context edges
+    from ..streaming import StreamingSSQCWT, _drive
+    from ..streaming_multirate import StreamingMultirateSSQCWT
+    Ns, chunk, ctx = 2048, 512, 512
+    xs = rng.standard_normal(Ns).astype(np.float32)
+    sc = np.geomspace(1., 16., 33).reshape(-1, 1)
+    Tx_off, *_ = stq.ssq_cwt(xs, ('gmw', {'dtype': 'float32'}),
+                             scales=sc, nv=None, astensor=False)
+    splan = StreamingSSQCWT(chunk, ('gmw', {'dtype': 'float32'}),
+                            scales=sc, nv=None, N=Ns, history=ctx,
+                            lookahead=ctx)
+    Txs, _ = _drive(splan, xs, chunk)
+    m = int(min(np.ceil(splan.support_np).max(), ctx))
+    assert _rel(Txs.to_numpy().sum(-2), Tx_off.sum(-2), trim=m) < 5e-3
+    mplan = StreamingMultirateSSQCWT(chunk, ('gmw', {'dtype': 'float32'}),
+                                     scales=sc, nv=None, N=Ns)
+    Txm, _ = _drive(mplan, xs, chunk)
+    assert np.isfinite(np.asarray(Txm.re)).all()
+    assert Txm.shape[-1] == Ns
+    mm = max(m, int(np.ceil(mplan.support_np).max()) + 64)
+    assert _rel(Txm.to_numpy().sum(-2), Tx_off.sum(-2), trim=mm) < 5e-3
     return True
