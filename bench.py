@@ -168,6 +168,8 @@ def main():
             signal.alarm(0)
         if name == 'cwt_b16':
             sec /= 16                      # per-transform
+        elif name == 'ssq_cwt_b4':
+            sec /= 4                       # per-transform
         ratio = round(REF_GPU[(name, N)] / sec, 3)
         sweep[f'{name}_{N // 1000}k'] = {
             'sec': round(sec, 5), 'transforms_per_sec': round(1 / sec, 2),
