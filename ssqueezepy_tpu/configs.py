@@ -1,14 +1,23 @@
 # -*- coding: utf-8 -*-
 """Global configuration for ssqueezepy_tpu.
 
-TPU-native re-design of the reference's three-tier config system
+TPU-native re-design of the reference's config system
 (`/root/reference/ssqueezepy/configs.py`, `configs.ini`): instead of an .ini
 file parsed at call time plus stack introspection (`gdefaults`,
 configs.py:27-124), defaults live in typed dataclasses, layered as
 
-    explicit kwargs  >  environment (``SSQTPU_*``)  >  built-in defaults
+    explicit kwargs  >  environment (``SSQTPU_*``)  >  user config file
+    >  built-in defaults
 
-Defaults themselves mirror the reference's `configs.ini` values
+The user config file (the reference's persistent `configs.ini`
+capability) is read ONCE at first `get_config()`: `$SSQTPU_CONFIG` if
+set, else ``~/.config/ssqueezepy_tpu/config.ini``. Sections:
+``[global]`` for `Config` fields (dtype, downsample, backend,
+use_pallas, ...) and one section per wavelet (``[gmw]``, ``[morlet]``,
+...) for the per-wavelet defaults table. Unknown keys warn and are
+ignored (a stale file must not brick the library).
+
+Built-in defaults mirror the reference's `configs.ini` values
 (morlet mu=13.4, gmw gamma=3 beta=60 norm='bandpass', global dtype float32,
 log-piecewise downsample=4).
 """
@@ -86,10 +95,70 @@ def _from_env(cfg):
     return cfg
 
 
+def _config_file_path():
+    p = os.environ.get('SSQTPU_CONFIG')
+    if p:
+        return p
+    return os.path.join(os.path.expanduser('~'), '.config',
+                        'ssqueezepy_tpu', 'config.ini')
+
+
+_BOOL_FIELDS = ('use_pallas', 'pallas_interpret', 'ssq_lowprec_deriv',
+                'stft_band')
+
+
+def _from_file(cfg, path=None):
+    """Layer the user config file under env/kwargs (reference
+    configs.py:85-124's persistent-configs.ini capability). Missing file
+    = no-op; malformed entries warn and are skipped."""
+    import configparser
+    path = path or _config_file_path()
+    if not os.path.isfile(path):
+        return cfg
+    parser = configparser.ConfigParser()
+    try:
+        parser.read(path)
+    except Exception as e:
+        import logging
+        logging.getLogger(__name__).warning(
+            "ignoring unreadable config file %s (%s)", path, e)
+        return cfg
+    wdefaults = dataclasses.asdict(cfg.wavelets)
+
+    def warn(msg, *a):
+        import logging
+        logging.getLogger(__name__).warning(
+            "config file %s: " + msg, path, *a)
+
+    for section in parser.sections():
+        items = dict(parser.items(section))
+        if section == 'global':
+            for k, v in items.items():
+                if not hasattr(cfg, k) or k == 'wavelets':
+                    warn("unknown [global] key %r ignored", k)
+                    continue
+                if k in _BOOL_FIELDS:
+                    setattr(cfg, k, v.lower() not in ('0', 'false', 'no'))
+                elif k == 'downsample':
+                    setattr(cfg, k, int(v))
+                else:
+                    setattr(cfg, k, v)
+        elif section in wdefaults:
+            table = getattr(cfg.wavelets, section)
+            for k, v in items.items():
+                try:
+                    table[k] = float(v)
+                except ValueError:
+                    table[k] = v            # e.g. gmw norm='energy'
+        else:
+            warn("unknown section [%s] ignored", section)
+    return cfg
+
+
 def get_config():
     global _CONFIG
     if _CONFIG is None:
-        _CONFIG = _from_env(Config())
+        _CONFIG = _from_env(_from_file(Config()))
     return _CONFIG
 
 

@@ -61,12 +61,31 @@ def _wavelet_grad_fns(wavelet):
     return fn, g1, g2
 
 
+_SUPPORTS2_CACHE = {}
+
+
 def _supports_order2(wavelet, dtype):
     """ssq_cwt2 needs an (at least numerically) analytic wavelet with a
     real-valued, jax-differentiable spectral fn. GMW qualifies exactly;
     morlet qualifies numerically (its negative-half magnitude is
     ~1e-39 — below any float's resolution, so the half-grid pipeline is
-    exact at f32/f64)."""
+    exact at f32/f64).
+
+    Memoized per (wavelet, dtype): the probe evaluates grad-of-grad
+    EAGERLY, and eager execution dispatches every primitive as its own
+    device call — ~120 ms/call through the remote tunnel (measured,
+    scripts/tpu_session5e.log: it dwarfed the 18 ms fused kernel)."""
+    key = (id(wavelet.fn), dtype)
+    hit = _SUPPORTS2_CACHE.get(key)
+    if hit is not None:
+        return hit[:2]
+    out = _supports_order2_probe(wavelet, dtype)
+    # hold a strong ref to fn so its id can't be recycled
+    _SUPPORTS2_CACHE[key] = out + (wavelet.fn,)
+    return out
+
+
+def _supports_order2_probe(wavelet, dtype):
     if not _is_analytic(wavelet):
         try:
             neg = wavelet.fn(np.linspace(-20., 0., 64), xp=np)
@@ -76,11 +95,14 @@ def _supports_order2(wavelet, dtype):
         except Exception:
             return False, "requires an analytic wavelet"
     try:
-        probe = wavelet.fn(jnp.ones((2,), dtype), xp=jnp)
+        # one jitted dispatch each — eager per-primitive execution costs
+        # ~4 ms/op through the device tunnel
+        probe = jax.jit(lambda w: wavelet.fn(w, xp=jnp))(
+            jnp.ones((2,), dtype))
         if isinstance(probe, tuple):
             return False, "requires a real-valued spectral fn"
         _, g1, g2 = _wavelet_grad_fns(wavelet)
-        g2(jnp.ones((2,), dtype))
+        jax.jit(g2)(jnp.ones((2,), dtype))
     except Exception as e:                             # pragma: no cover
         return False, "spectral fn not differentiable (%s)" % e
     return True, None

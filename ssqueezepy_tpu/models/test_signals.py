@@ -113,6 +113,7 @@ class TestSignals():
     """Named test-signal generator + demo suite (API-parity with the
     reference `TestSignals`). `make_signals` is the batch driver; every
     catalog entry is also an individual method returning ``(x, t)``."""
+    __test__ = False          # not a pytest class despite the name
     SUPPORTED = ['cosine', 'sine', 'lchirp', 'echirp', 'echirp_pc',
                  'hchirp', 'par-lchirp', 'par-echirp', 'par-hchirp',
                  'jumps', 'packed', 'packed-poly', 'poly-cubic',

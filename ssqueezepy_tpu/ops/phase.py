@@ -95,7 +95,10 @@ def phase_cwt_num(Wx, dt, difforder=4, gamma=None):
         w += Wxr[:, 0:-4]
         w /= (12 * dt)
 
-    w = np.real(-1j * w / Wn) / (2 * pi)
+    # zero-magnitude cells divide to inf/nan here and are masked to inf
+    # by the gamma gate right below
+    with np.errstate(divide='ignore', invalid='ignore'):
+        w = np.real(-1j * w / Wn) / (2 * pi)
     gamma = gamma or 10 * (EPS64 if Wn.dtype == np.complex128 else EPS32)
     w[np.abs(Wn) < gamma] = np.inf
     return jnp.asarray(np.abs(w))

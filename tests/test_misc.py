@@ -270,3 +270,31 @@ def test_cwt_vectorized_false_chunked_equals_vectorized():
     assert np.allclose(sv, sc)
     assert np.abs(Wv - Wc).max() < 1e-6 * max(np.abs(Wv).max(), 1)
     assert np.abs(dWv - dWc).max() < 1e-6 * max(np.abs(dWv).max(), 1)
+
+
+def test_config_file_layer(tmp_path, monkeypatch):
+    """User config file (the reference's persistent configs.ini
+    capability): [global] + per-wavelet sections layer UNDER env and
+    kwargs; unknown keys are ignored with a warning, not an error."""
+    import logging
+    from ssqueezepy_tpu import configs as C
+    p = tmp_path / 'config.ini'
+    p.write_text("[global]\ndtype = float64\ndownsample = 8\n"
+                 "not_a_key = 1\n"
+                 "[gmw]\nbeta = 40\n"
+                 "[nosuch]\nz = 1\n")
+    monkeypatch.setenv('SSQTPU_CONFIG', str(p))
+    monkeypatch.delenv('SSQTPU_DTYPE', raising=False)
+    old = C._CONFIG
+    try:
+        C._CONFIG = None
+        cfg = C.get_config()
+        assert cfg.dtype == 'float64'
+        assert cfg.downsample == 8
+        assert cfg.wavelets.gmw['beta'] == 40.0
+        # env still overrides the file
+        C._CONFIG = None
+        monkeypatch.setenv('SSQTPU_DTYPE', 'float32')
+        assert C.get_config().dtype == 'float32'
+    finally:
+        C._CONFIG = old

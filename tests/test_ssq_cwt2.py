@@ -89,8 +89,11 @@ def test_wsst2_matches_first_order_on_tone():
     m = 1500
     E = np.abs(Wx[:, m:-m]) ** 2
     act = E > 1e-3 * E.max()
-    d = np.abs(np.where(act, w2[:, m:-m] - w1[:, m:-m], 0))
-    assert d.max() < 1e-5, d.max()
+    # inactive cells carry inf estimates (gamma-gated); subtract only
+    # on the active set to keep inf - inf out of the where
+    dw = np.zeros_like(E)
+    dw[act] = w2[:, m:-m][act] - w1[:, m:-m][act]
+    assert np.abs(dw).max() < 1e-5, np.abs(dw).max()
 
 
 def test_wsst2_reconstructs():
