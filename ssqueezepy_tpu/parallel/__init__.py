@@ -18,6 +18,7 @@ from .inverse import sharded_icwt, sharded_issq_cwt
 from .sharded_stft import (ShardedSSQSTFT, ShardedSSQSTFT2,
                            sharded_ssq_stft)
 from .sharded_order2 import ShardedSSQCWT2
+from .health import collective_heartbeat, HealthMonitor
 
 __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
            'ShardedSSQCWT', 'dryrun_multichip', 'TimeShardedSSQCWT',
@@ -25,4 +26,4 @@ __all__ = ['make_mesh', 'mesh_info', 'sharded_ssq_cwt', 'sharded_cwt',
            'init_distributed', 'make_host_chip_mesh', 'FullShardedSSQCWT',
            'make_mesh3', 'sharded_icwt', 'sharded_issq_cwt',
            'ShardedSSQSTFT', 'ShardedSSQSTFT2', 'sharded_ssq_stft',
-           'ShardedSSQCWT2']
+           'ShardedSSQCWT2', 'collective_heartbeat', 'HealthMonitor']

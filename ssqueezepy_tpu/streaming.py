@@ -155,6 +155,36 @@ class _StreamingBase:
         """Forget all carried state; the compiled program is kept."""
         self._init_state()
 
+    # -- checkpoint / resume (multi-host recovery: parallel/health.py) --
+    def state_dict(self):
+        """Host-side snapshot of ALL carried state — the streaming plans
+        are the library's only stateful objects, so this is the whole
+        checkpoint story: persist it (numpy), rebuild the plan on the
+        replacement process (plans/compiled programs reload from the
+        disk caches), `load_state`, continue."""
+        return {
+            'hist': (np.asarray(self._hist) if self._hist is not None
+                     else None),
+            'pend': (np.asarray(self._pend) if self._pend is not None
+                     else None),
+            'done': self._done,
+            'ncalls': self._ncalls,
+            'squeeze': getattr(self, '_squeeze', None),
+        }
+
+    def load_state(self, state):
+        """Restore a `state_dict` snapshot onto this (same-plan) object;
+        the next `process`/`finalize` continues the stream exactly."""
+        self._hist = (jnp.asarray(state['hist'], self.dtype)
+                      if state['hist'] is not None else None)
+        self._pend = (jnp.asarray(state['pend'], self.dtype)
+                      if state['pend'] is not None else None)
+        self._done = bool(state['done'])
+        self._ncalls = int(state['ncalls'])
+        if state['squeeze'] is not None:
+            self._squeeze = bool(state['squeeze'])
+        return self
+
 
 class StreamingSSQCWT(_StreamingBase):
     """Online synchrosqueezed CWT over fixed-size chunks.
