@@ -447,6 +447,8 @@ def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
     if use_fused:
         from ..ops.stft_conv import fsst2_pallas_rows
         from ..ops.ssq_pallas import scatter_kv_direct
+        from ..configs import get_config
+        aux_lowprec = bool(get_config().ssq_lowprec_deriv)
         tabs, band_plan = fused_tabs
         nbins = params['omax'] + 1
         T_sc = 1024
@@ -462,7 +464,7 @@ def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
             VF, k = fsst2_pallas_rows(
                 xh, fs_f, tabs_a, n_rows, int(Np2), N, Sfs_np, params,
                 gamma, flipud, tiny, band_plan, direct_T=T_sc,
-                interpret=interp)
+                interpret=interp, aux_lowprec=aux_lowprec)
             TxF = scatter_kv_direct(VF, k, const_pad, nbins,
                                     interpret=interp, T=T_sc)
             Tx = Complex(TxF.re[:nbins, :N], TxF.im[:nbins, :N])

@@ -387,6 +387,19 @@ def _sdot(a, b):
             jax.lax.dot_general(a_lo, b_hi, **kw))
 
 
+def _sdot_lo(a, b):
+    """Single-pass bf16 dot (1/3 the MXU passes of `_sdot`): for the
+    FSST2 auxiliary window transforms, which only feed the chirp-rate
+    correction of the reassignment BIN — the +-1-bin criterion (same
+    argument as ops/cwt_pallas._dot_lo)."""
+    dn = (((1,), (0,)), ((), ()))
+    return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16),
+                               dimension_numbers=dn,
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+
 def _make_stft_kernel(rows0, f1, f2, k2span, deriv, bin_spec=None,
                       direct=None, band=None):
     # direct (zero-prep) bins mode: (N_valid, n_live, kdtype) — emit the
@@ -651,7 +664,7 @@ def stft_pallas_rows(xh, fs, Hre, Him, Hdre, Hdim, Np2, N_out,
 
 def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
                       gamma, flipud, tiny, band, direct_T=1024,
-                      kdtype='int16', interpret=False):
+                      kdtype='int16', interpret=False, aux_lowprec=True):
     """Five-window FSST2 rows from a precomputed full-length spectrum:
     returns (V, k) in the zero-prep scatter layout (na_pad, W) — V the
     analysis STFT, k the chirp-corrected int bin plane. `tables` = the
@@ -706,11 +719,11 @@ def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
             return ((a[0] * b[0] + a[1] * b[1]) / d,
                     (a[1] * b[0] - a[0] * b[1]) / d)
 
-        def stages(Pre, Pim, h):
+        def stages(Pre, Pim, h, dot):
             sl = slice(h * hk1, (h + 1) * hk1)
             wre_, wim_ = wre_r[sl], wim_r[sl]
-            Are = _sdot(wre_, Pre) - _sdot(wim_, Pim)
-            Aim = _sdot(wre_, Pim) + _sdot(wim_, Pre)
+            Are = dot(wre_, Pre) - dot(wim_, Pim)
+            Aim = dot(wre_, Pim) + dot(wim_, Pre)
             tre_, tim_ = tre_r[sl], tim_r[sl]
             Atre = Are * tre_ - Aim * tim_
             Atim = Are * tim_ + Aim * tre_
@@ -718,8 +731,8 @@ def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
             eim = eim_r[0][sl, :]
             Atre, Atim = (Atre * ere - Atim * eim,
                           Atre * eim + Atim * ere)
-            Ere = _sdot(Atre, w2re_r[:]) - _sdot(Atim, w2im_r[:])
-            Eim = _sdot(Atre, w2im_r[:]) + _sdot(Atim, w2re_r[:])
+            Ere = dot(Atre, w2re_r[:]) - dot(Atim, w2im_r[:])
+            Eim = dot(Atre, w2im_r[:]) + dot(Atim, w2re_r[:])
             return Ere.T, Eim.T, sl              # (k2span, hk1)
 
         Ps = []
@@ -728,12 +741,13 @@ def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
             Ps.append((hre * xre - him * xim,
                        hre * xim + him * xre))
 
+        adot = _sdot_lo if aux_lowprec else _sdot
         for h in range(nh):
-            V = stages(Ps[0][0], Ps[0][1], h)[:2]
-            Vg1 = stages(Ps[1][0], Ps[1][1], h)[:2]
-            Vt = stages(Ps[2][0], Ps[2][1], h)[:2]
-            Vtd = stages(Ps[3][0], Ps[3][1], h)[:2]
-            Vd2 = stages(Ps[4][0], Ps[4][1], h)[:2]
+            V = stages(Ps[0][0], Ps[0][1], h, _sdot)[:2]
+            Vg1 = stages(Ps[1][0], Ps[1][1], h, adot)[:2]
+            Vt = stages(Ps[2][0], Ps[2][1], h, adot)[:2]
+            Vtd = stages(Ps[3][0], Ps[3][1], h, adot)[:2]
+            Vd2 = stages(Ps[4][0], Ps[4][1], h, adot)[:2]
             sl = slice(h * hk1, (h + 1) * hk1)
             outs[0][0, :, sl] = V[0]
             outs[1][0, :, sl] = V[1]
