@@ -76,7 +76,11 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         # calibration) never runs. Applies when the rows are already in
         # natural-bin order (identity placement — true for the library's
         # own CWT ssq grids) and squeezing is plain 'sum'.
-        use_direct = (squeezing in (None, 'sum')
+        # (batched variant measured and rejected: lax.map of this body
+        # over B=4 costs 47.5 ms/transform vs the legacy batched path's
+        # 32.2 — sequential per-signal grids pipeline worse than the
+        # batched kernels + vmapped scatter; scripts/tpu_session5g.log)
+        use_direct = (not is_2d and squeezing in (None, 'sum')
                       and natural_bins is not None
                       and np.array_equal(natural_bins, np.arange(na)))
         if use_direct:
@@ -85,7 +89,7 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
             T_sc = 1024
             na_pad = -(-na // 32) * 32
 
-            def one(xj, scales_j, dt, const):
+            def run(xj, scales_j, dt, const):
                 xj = xj.astype(dtype)
                 xj = jnp.where(jnp.isfinite(xj), xj, 0)
                 xp_pad = padsignal(xj, padtype)
@@ -110,18 +114,7 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
                 Wx = Complex(WxF.re[:na, off:off + N],
                              WxF.im[:na, off:off + N])
                 return Tx, Wx, None
-
-            if not is_2d:
-                return jax.jit(one)
-
-            # batched (round-5): lax.map the per-signal direct body —
-            # compiled ONCE, all B pipelines in one program. The bucket
-            # alias chains make the direct grids batch-unvmappable, and
-            # the legacy batched path paid the XLA prep per signal.
-            def run_b(xj, scales_j, dt, const):
-                return jax.lax.map(lambda xi: one(xi, scales_j, dt,
-                                                  const), xj)
-            return jax.jit(run_b)
+            return jax.jit(run)
 
         def run(xj, scales_j, dt, const):
             xj = xj.astype(dtype)

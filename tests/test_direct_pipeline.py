@@ -198,24 +198,3 @@ def test_ssq_stft_routes_direct():
     assert np.abs(Tx_p - Tx_c).max() < 6e-3 * max(m, 1.0)
     assert np.abs(Tx_p.sum(-2) - Tx_c.sum(-2)).max() / m < 1e-5
     assert np.allclose(fr_p, fr_c)
-
-
-def test_ssq_cwt_batched_direct_matches_single():
-    """Round-5: 2D inputs route through the direct pipeline via
-    lax.map of the per-signal body — each batch row must equal the
-    1D call bit-exactly (same program per signal)."""
-    N, B = 2048, 3
-    xs = rng.standard_normal((B, N)).astype(np.float32)
-    kw = dict(scales='log-piecewise', nv=8)
-    configure(backend='tpu', pallas_interpret=True)
-    try:
-        Txb, Wxb, _, _ = stq.ssq_cwt(xs, ('gmw', {'dtype': 'float32'}),
-                                     astensor=False, **kw)
-        for b in range(B):
-            Tx1, Wx1, _, _ = stq.ssq_cwt(
-                xs[b], ('gmw', {'dtype': 'float32'}), astensor=False,
-                **kw)
-            assert np.array_equal(Txb[b], Tx1), b
-            assert np.array_equal(Wxb[b], Wx1), b
-    finally:
-        reset_config()

@@ -82,3 +82,32 @@ def test_streaming_chunk():
         rng.standard_normal(chunk).astype(np.float32)))
     t = out[0] if isinstance(out, tuple) else out
     assert np.isfinite(np.asarray(t.re)).all()
+
+
+def test_order2_fused_onchip(chirp_4k):
+    """Fused WSST2/FSST2 route and match their XLA twins on hardware
+    (column sums; the fused kernels' first on-chip equality check at
+    small N)."""
+    import ssqueezepy_tpu.ops.cwt_pallas as _cp
+    import ssqueezepy_tpu.ops.stft_conv as _sc
+    calls = []
+    o1, o2 = _cp.cwt_fused_bins2_direct, _sc.fsst2_pallas_rows
+    _cp.cwt_fused_bins2_direct = \
+        lambda *a, **kw: (calls.append('w'), o1(*a, **kw))[1]
+    _sc.fsst2_pallas_rows = \
+        lambda *a, **kw: (calls.append('f'), o2(*a, **kw))[1]
+    try:
+        _cfg(use_pallas=True)
+        Tw, *_ = stq.ssq_cwt2(chirp_4k, ('gmw', {'dtype': 'float32'}),
+                              nv=16)
+        Tf, *_ = stq.ssq_stft2(chirp_4k, n_fft=256, dtype='float32')
+        _cfg(use_pallas=False)
+        Tw0, *_ = stq.ssq_cwt2(chirp_4k, ('gmw', {'dtype': 'float32'}),
+                               nv=16)
+        Tf0, *_ = stq.ssq_stft2(chirp_4k, n_fft=256, dtype='float32')
+    finally:
+        _cp.cwt_fused_bins2_direct, _sc.fsst2_pallas_rows = o1, o2
+    assert 'w' in calls and 'f' in calls, calls
+    assert np.isfinite(np.asarray(Tw.re)).all()
+    assert _colsum_rel(Tw, Tw0) < 1e-3
+    assert _colsum_rel(Tf, Tf0) < 1e-3
