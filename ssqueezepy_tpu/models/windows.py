@@ -49,48 +49,49 @@ def get_window(window, win_len, n_fft=None, derivative=False, dtype=None):
     return out
 
 
+def _resolve_window(window, win_len):
+    """Spec -> length-`win_len` numpy window: scipy name string, a user
+    array (length-checked), or the DPSS default."""
+    if window is None:
+        return sig.windows.dpss(win_len, max(4, win_len // 8), sym=False)
+    if isinstance(window, str):
+        # fftbins=True = the 'periodic' variant (STFT convention)
+        return sig.get_window(window, win_len, fftbins=True)
+    if isinstance(window, np.ndarray):
+        if len(window) != win_len:
+            WARN("window length %d does not match win_len=%d"
+                 % (len(window), win_len))
+        return window
+    raise ValueError("unsupported `window` spec %r — pass a scipy "
+                     "window name or a numpy array" % (window,))
+
+
+def _spectral_derivative(w):
+    """d(window)/dt via the frequency domain (exact for the periodic
+    extension; Nyquist bin zeroed for even length — its derivative
+    contribution is ambiguous in sign and must vanish)."""
+    xi = _xifn(1, len(w))
+    if len(w) % 2 == 0:
+        xi[len(w) // 2] = 0
+    return np.fft.ifft(np.fft.fft(w) * 1j * xi).real
+
+
 def _build_window(window, win_len, n_fft=None, derivative=False,
                   dtype=None):
-    if n_fft is None:
-        pl, pr = 0, 0
-    else:
-        if win_len > n_fft:
-            raise ValueError("Can't have `win_len > n_fft` ({} > {})".format(
-                win_len, n_fft))
-        pl = (n_fft - win_len) // 2
-        pr = (n_fft - win_len - pl)
-
-    if window is not None:
-        if isinstance(window, str):
-            # fftbins=True -> 'periodic' window
-            window = sig.get_window(window, win_len, fftbins=True)
-        elif isinstance(window, np.ndarray):
-            if len(window) != win_len:
-                WARN("len(window) != win_len (%s != %s)"
-                     % (len(window), win_len))
-        else:
-            raise ValueError("`window` must be string or np.ndarray "
-                             "(got %s)" % window)
-    else:
-        window = sig.windows.dpss(win_len, max(4, win_len // 8), sym=False)
-
-    if len(window) < (win_len + pl + pr):
-        window = np.pad(window, [pl, pr])
-
-    if derivative:
-        wf = np.fft.fft(window)
-        Nw = len(window)
-        xi = _xifn(1, Nw)
-        if Nw % 2 == 0:
-            xi[Nw // 2] = 0
-        diff_window = np.fft.ifft(wf * 1j * xi).real
+    if n_fft is not None and win_len > n_fft:
+        raise ValueError("win_len=%d exceeds n_fft=%d" % (win_len, n_fft))
+    window = _resolve_window(window, win_len)
+    if n_fft is not None and len(window) < n_fft:
+        # center the win_len-long window in the n_fft frame
+        lpad = (n_fft - win_len) // 2
+        window = np.pad(window, [lpad, n_fft - win_len - lpad])
 
     dtype = dtype or 'float32'
-    window = _zero_denormals_np(np.asarray(window).astype(dtype))
+    out = _zero_denormals_np(np.asarray(window).astype(dtype))
     if derivative:
-        diff_window = _zero_denormals_np(diff_window.astype(dtype))
-        return window, diff_window
-    return window
+        dw = _zero_denormals_np(_spectral_derivative(window).astype(dtype))
+        return out, dw
+    return out
 
 
 def _check_NOLA(window, hop_len, dtype=None, imprecision_strict=False):
@@ -107,17 +108,20 @@ def _check_NOLA(window, hop_len, dtype=None, imprecision_strict=False):
 
 def _check_NOLA_impl(window, hop_len, dtype=None,
                      imprecision_strict=False):
+    noverlap = len(window) - hop_len
     if hop_len > len(window):
-        WARN("`hop_len > len(window)`; STFT not invertible")
-    elif not sig.check_NOLA(window, len(window), len(window) - hop_len):
-        WARN("`window` fails Non-zero Overlap Add (NOLA) criterion; "
-             "STFT not invertible")
+        WARN("hop_len %d exceeds the window length %d — frames skip "
+             "samples and the STFT cannot be inverted"
+             % (hop_len, len(window)))
+    elif not sig.check_NOLA(window, len(window), noverlap):
+        WARN("window violates the nonzero-overlap-add (NOLA) condition "
+             "at this hop_len — the STFT cannot be inverted")
 
     if dtype is None:
         dtype = str(window.dtype)
     tol = 0.15 if imprecision_strict else 1e-3
-    if dtype == 'float32' and not sig.check_NOLA(
-            window, len(window), len(window) - hop_len, tol=tol):
-        WARN("Imprecision expected at right-most hop of signal, in "
-             "inversion. Lower `hop_len`, choose wider `window`, or use "
-             "`dtype='float64'`.")
+    if dtype == 'float32' and not sig.check_NOLA(window, len(window),
+                                                 noverlap, tol=tol):
+        WARN("float32 inversion will be imprecise near the signal's "
+             "final hop — reduce hop_len, widen the window, or use "
+             "dtype='float64'")
