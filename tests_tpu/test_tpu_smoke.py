@@ -96,15 +96,19 @@ def test_order2_fused_onchip(chirp_4k):
         lambda *a, **kw: (calls.append('w'), o1(*a, **kw))[1]
     _sc.fsst2_pallas_rows = \
         lambda *a, **kw: (calls.append('f'), o2(*a, **kw))[1]
+    # FSST2 needs a 2-factor Np2 with f2 % 64 == 0: N + n_fft - 1 in
+    # (3840, 4096] gives Np2 = 4096 = 64 x 64 (N=4096 lands on 4608 =
+    # 64 x 72 and legitimately takes the XLA path)
+    x_s = chirp_4k[:3800]
     try:
         _cfg(use_pallas=True)
         Tw, *_ = stq.ssq_cwt2(chirp_4k, ('gmw', {'dtype': 'float32'}),
                               nv=16)
-        Tf, *_ = stq.ssq_stft2(chirp_4k, n_fft=256, dtype='float32')
+        Tf, *_ = stq.ssq_stft2(x_s, n_fft=256, dtype='float32')
         _cfg(use_pallas=False)
         Tw0, *_ = stq.ssq_cwt2(chirp_4k, ('gmw', {'dtype': 'float32'}),
                                nv=16)
-        Tf0, *_ = stq.ssq_stft2(chirp_4k, n_fft=256, dtype='float32')
+        Tf0, *_ = stq.ssq_stft2(x_s, n_fft=256, dtype='float32')
     finally:
         _cp.cwt_fused_bins2_direct, _sc.fsst2_pallas_rows = o1, o2
     assert 'w' in calls and 'f' in calls, calls
