@@ -199,6 +199,14 @@ def default_dtype():
     return get_config().dtype
 
 
+def scatter_tile():
+    """Time-tile width of the direct reassignment scatter (env
+    ``SSQTPU_SCATTER_T``; default 1024 — the measured optimum at the
+    benchmark shape, PROFILE.md round-4 T sweep). Read at plan-build
+    time; an experiment knob for hardware tile sweeps."""
+    return int(os.environ.get('SSQTPU_SCATTER_T', '1024'))
+
+
 _WARNED_X64 = [False]
 
 

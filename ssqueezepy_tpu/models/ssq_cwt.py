@@ -15,6 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..configs import scatter_tile
 from ..ops.complexlib import Complex, as_complex
 from ..ops.pad import padsignal, pad_params
 from ..ops.phase import phase_cwt, phase_cwt_num
@@ -86,7 +87,7 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         if use_direct:
             from ..ops.cwt_pallas import cwt_fused_bins_direct
             from ..ops.ssq_pallas import scatter_kv_direct
-            T_sc = 1024
+            T_sc = scatter_tile()
             na_pad = -(-na // 32) * 32
 
             def run(xj, scales_j, dt, const):

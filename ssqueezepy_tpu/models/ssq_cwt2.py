@@ -36,6 +36,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..configs import scatter_tile
 from ..ops.complexlib import Complex
 from ..ops.fft import fft, ifft
 from ..ops.pad import padsignal, pad_params
@@ -206,7 +207,7 @@ def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
         from ..configs import get_config
         lowprec = bool(get_config().ssq_lowprec_deriv)
         nbins = params['omax'] + 1
-        T_sc = 1024
+        T_sc = scatter_tile()
         na = len(natural_bins)
         na_pad = -(-na // 32) * 32
 
