@@ -199,12 +199,14 @@ def default_dtype():
     return get_config().dtype
 
 
-def scatter_tile():
+def scatter_tile(default=1024):
     """Time-tile width of the direct reassignment scatter (env
-    ``SSQTPU_SCATTER_T``; default 1024 — the measured optimum at the
-    benchmark shape, PROFILE.md round-4 T sweep). Read at plan-build
-    time; an experiment knob for hardware tile sweeps."""
-    return int(os.environ.get('SSQTPU_SCATTER_T', '1024'))
+    ``SSQTPU_SCATTER_T`` overrides). Measured per-family optima at the
+    benchmark shape: 1024 for the CWT pipelines (round-4 T sweep,
+    PROFILE.md), 512 for the STFT family (round-5 sweep,
+    scripts/tpu_session5j.log: 27.5 vs 28.3 ms ssq_stft@160k) — callers
+    pass their family's default. Read at plan-build time."""
+    return int(os.environ.get('SSQTPU_SCATTER_T', str(default)))
 
 
 _WARNED_X64 = [False]
