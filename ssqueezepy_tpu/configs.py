@@ -199,14 +199,18 @@ def default_dtype():
     return get_config().dtype
 
 
-def scatter_tile(default=1024):
+def scatter_tile(default=256):
     """Time-tile width of the direct reassignment scatter (env
-    ``SSQTPU_SCATTER_T`` overrides). Measured per-family optima at the
-    benchmark shape: 1024 for the CWT pipelines (round-4 T sweep,
-    PROFILE.md), 512 for the STFT family (round-5 sweep,
-    scripts/tpu_session5j.log: 27.5 vs 28.3 ms ssq_stft@160k) — callers
-    pass their family's default. Read at plan-build time."""
-    return int(os.environ.get('SSQTPU_SCATTER_T', str(default)))
+    ``SSQTPU_SCATTER_T`` overrides; floor 128 — the Pallas lane
+    minimum). The round-5 descent sweep (PROFILE.md; sessions 5j-5o)
+    found T=256 optimal for EVERY direct pipeline at the bench shape
+    (narrower tiles shrink both the per-tile outlier bound driving
+    tier-2's loop and the accumulator zeroing; 128 turns back up):
+    ssq_cwt 23.4->21.5 ms, ssq_stft 28.3->26.4, ssq_cwt2 28.9->27.4,
+    ssq_stft2 30.8->28.9, Tx-only 21.9->20.4. Read at plan-build
+    time."""
+    return max(128, int(os.environ.get('SSQTPU_SCATTER_T',
+                                       str(default))))
 
 
 _WARNED_X64 = [False]

@@ -103,7 +103,7 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
                       and np.array_equal(natural, np.arange(n_rows)))
         if use_direct:
             from ..ops.ssq_pallas import scatter_kv_direct
-            T_sc = scatter_tile(default=512)
+            T_sc = scatter_tile()
             na_pad = -(-n_rows // 32) * 32
             const_pad = jnp.asarray(np.pad(
                 np.full(n_rows, const, dtype), (0, na_pad - n_rows)))
@@ -452,7 +452,7 @@ def _ssq_stft2_fast_jit(shape, dtype, n_fft, modulated, bank_key, padtype,
         aux_lowprec = bool(get_config().ssq_lowprec_deriv)
         tabs, band_plan = fused_tabs
         nbins = params['omax'] + 1
-        T_sc = scatter_tile(default=512)
+        T_sc = scatter_tile()
         na_pad = -(-n_rows // 32) * 32
         const_pad = jnp.asarray(np.pad(
             np.full(n_rows, const, dtype), (0, na_pad - n_rows)))
