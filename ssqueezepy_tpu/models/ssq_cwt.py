@@ -84,10 +84,10 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
         use_direct = (not is_2d and squeezing in (None, 'sum')
                       and natural_bins is not None
                       and np.array_equal(natural_bins, np.arange(na)))
+        T_sc = scatter_tile()
         if use_direct:
             from ..ops.cwt_pallas import cwt_fused_bins_direct
             from ..ops.ssq_pallas import scatter_kv_direct
-            T_sc = scatter_tile()
             na_pad = -(-na // 32) * 32
 
             def run(xj, scales_j, dt, const):
@@ -130,7 +130,7 @@ def _ssq_cwt_jit(wav_key, shape, dtype, n_up, n1, N, l1_norm, is_2d,
             Wx_s = _apply_squeezing(Wx, squeezing)
             Tx = scatter_kv_pallas(Wx_s, k, const, nbins,
                                    natural_bins=natural_bins,
-                                   interpret=interp)
+                                   interpret=interp, T=T_sc)
             return Tx, Wx, None
         return jax.jit(run)
 

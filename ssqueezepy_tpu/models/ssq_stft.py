@@ -101,9 +101,9 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
         use_direct = (not is_2d and squeezing in (None, 'sum')
                       and natural is not None
                       and np.array_equal(natural, np.arange(n_rows)))
+        T_sc = scatter_tile()
         if use_direct:
             from ..ops.ssq_pallas import scatter_kv_direct
-            T_sc = scatter_tile()
             na_pad = -(-n_rows // 32) * 32
             const_pad = jnp.asarray(np.pad(
                 np.full(n_rows, const, dtype), (0, na_pad - n_rows)))
@@ -133,7 +133,7 @@ def _ssq_stft_fast_jit(shape, dtype, n_fft, hop_len, modulated, win_key,
             Sx_s = _apply_squeezing(Sx, squeezing)
             Tx = scatter_kv_pallas(Sx_s, k, const, nbins,
                                    natural_bins=natural,
-                                   interpret=interp)
+                                   interpret=interp, T=T_sc)
             return Tx, Sx, None
 
         jitted = jax.jit(run)
