@@ -77,3 +77,16 @@ def test_heisenberg_area():
     st = time_resolution(w, 20., N=8192, nondim=False, force_int=False)
     sw = freq_resolution(w, 20., N=8192, nondim=False, force_int=False)
     assert st * sw >= 0.5 - 1e-3, st * sw
+
+
+def test_scatter_tile_knob(monkeypatch):
+    """SSQTPU_SCATTER_T overrides the default and clamps at the Pallas
+    128-lane floor (round-5 sweep: T=64 fails block-shape lowering)."""
+    from ssqueezepy_tpu.configs import scatter_tile
+    monkeypatch.delenv('SSQTPU_SCATTER_T', raising=False)
+    assert scatter_tile() == 256
+    assert scatter_tile(default=512) == 512
+    monkeypatch.setenv('SSQTPU_SCATTER_T', '64')
+    assert scatter_tile() == 128
+    monkeypatch.setenv('SSQTPU_SCATTER_T', '1024')
+    assert scatter_tile() == 1024
