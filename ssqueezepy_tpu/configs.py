@@ -115,7 +115,8 @@ def _from_file(cfg, path=None):
     path = path or _config_file_path()
     if not os.path.isfile(path):
         return cfg
-    parser = configparser.ConfigParser()
+    # interpolation off: a '%' in a value must not raise at items()
+    parser = configparser.ConfigParser(interpolation=None)
     try:
         parser.read(path)
     except Exception as e:
@@ -134,15 +135,20 @@ def _from_file(cfg, path=None):
         items = dict(parser.items(section))
         if section == 'global':
             for k, v in items.items():
-                if not hasattr(cfg, k) or k == 'wavelets':
-                    warn("unknown [global] key %r ignored", k)
-                    continue
-                if k in _BOOL_FIELDS:
-                    setattr(cfg, k, v.lower() not in ('0', 'false', 'no'))
-                elif k == 'downsample':
-                    setattr(cfg, k, int(v))
-                else:
-                    setattr(cfg, k, v)
+                try:
+                    if not hasattr(cfg, k) or k == 'wavelets':
+                        warn("unknown [global] key %r ignored", k)
+                    elif k in _BOOL_FIELDS:
+                        setattr(cfg, k,
+                                v.lower() not in ('0', 'false', 'no'))
+                    elif k == 'downsample':
+                        setattr(cfg, k, int(v))
+                    else:
+                        setattr(cfg, k, v)
+                except Exception as e:
+                    # a stale file must not brick the library
+                    warn("malformed [global] %s = %r skipped (%s)",
+                         k, v, e)
         elif section in wdefaults:
             table = getattr(cfg.wavelets, section)
             for k, v in items.items():
@@ -276,4 +282,4 @@ def exec_config_key():
     the TPU bins pipeline after reconfiguration)."""
     cfg = get_config()
     return (backend(), cfg.use_pallas, cfg.pallas_interpret,
-            cfg.ssq_lowprec_deriv, cfg.stft_band)
+            cfg.ssq_lowprec_deriv, cfg.stft_band, scatter_tile())

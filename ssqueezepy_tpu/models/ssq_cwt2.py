@@ -201,7 +201,6 @@ def _ssq_cwt2_jit(wav_key, shape, dtype, n_up, n1, N, is_2d, flipud,
             use_fused = (natural_bins is not None and
                          np.array_equal(natural_bins, np.arange(na)))
     if use_fused:
-        from ..ops.fft import fft as _fft
         from ..ops.cwt_pallas import cwt_fused_bins2_direct
         from ..ops.ssq_pallas import scatter_kv_direct
         from ..configs import get_config

@@ -155,3 +155,19 @@ def as_complex(z, dtype=None):
     if dtype is not None:
         z = z.astype(dtype)
     return Complex(z, jnp.zeros_like(z))
+
+
+def cmul2(a, b):
+    """(re, im)-PAIR complex multiply, for Pallas kernel bodies that
+    carry split planes as plain tuples (shared by the WSST2/FSST2
+    chirp-regression kernels — one definition so the numerics cannot
+    drift between them)."""
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def cdiv2(a, b, tiny):
+    """(re, im)-pair complex divide with the additive `tiny`
+    denominator regularizer (matches the XLA twins' cdiv)."""
+    d = b[0] * b[0] + b[1] * b[1] + tiny
+    return ((a[0] * b[0] + a[1] * b[1]) / d,
+            (a[1] * b[0] - a[0] * b[1]) / d)

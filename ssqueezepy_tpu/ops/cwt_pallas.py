@@ -209,6 +209,7 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                 # the fresh half blocks (XLA twin: _wsst2_rows)
                 from .ssq_pallas import _bins_from_w
                 params, gamma, flipud, mode = bin_spec
+                from .complexlib import cmul2, cdiv2
                 tiny = jnp.asarray(order2, Pre.dtype)
                 dpsih = _g1(wg)
                 d2psih = _g2(wg)
@@ -219,15 +220,8 @@ def _make_kernel(wavelet_fn, rows0, f1, f2, k2span, deriv, l1_norm,
                 PBd = (-xi * (tb * xh_re), -xi * (tb * xh_im))
                 PC = (-(t2b * xh_re), -(t2b * xh_im))
                 inv2pidt = invdt_r[0, 0] / (2 * np.pi)
-
-                def cmul(a, b):
-                    return (a[0] * b[0] - a[1] * b[1],
-                            a[0] * b[1] + a[1] * b[0])
-
-                def cdiv(a, b):
-                    d = b[0] * b[0] + b[1] * b[1] + tiny
-                    return ((a[0] * b[0] + a[1] * b[1]) / d,
-                            (a[1] * b[0] - a[0] * b[1]) / d)
+                cmul = cmul2
+                cdiv = lambda a, b: cdiv2(a, b, tiny)
 
                 for h in range(nh):
                     Wre, Wim, sl = half(Pre, Pim, _dot, h)

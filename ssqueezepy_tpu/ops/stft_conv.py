@@ -88,30 +88,13 @@ def _conv_filterbank(win_key, n_fft, Np2, modulated):
 _BAND_EPS_MASS = 1e-7
 
 
-@functools.lru_cache(maxsize=8)
-def _band_plan(win_key, n_fft, Np2, modulated):
-    """Per-row banded support of the precomputed filterbank.
-
-    Window spectra are concentrated around each row's center bin, so
-    the stage-1 contraction over the (rows0, f2) spectrum block only
-    needs a contiguous band of rows per STFT row. Rows are dropped
-    outside-in (largest offset from the peak first) while their
-    cumulative L1 mass stays under `_BAND_EPS_MASS` of the row total.
-    Returns ``(r0, br)`` — per-row band starts (multiples of 8, indices
-    into the wrap-extended ``(rows0+br, f2)`` spectrum block) and the
-    uniform band row count — or ``None`` when the band would not pay
-    (more than half the full contraction, e.g. slowly-decaying custom
-    windows)."""
-    from .fft import _factorize
-    factors = _factorize(Np2)
-    if len(factors) != 2:
-        return None
-    f2 = factors[1]
-    rows0 = Np2 // f2
-    H, Hd = _conv_filterbank(win_key, n_fft, Np2, modulated)
-    mag = np.abs(H)
-    if Hd is not None:
-        mag = np.maximum(mag, np.abs(Hd))
+def _band_geometry(mag, rows0, f2):
+    """Per-row contiguous band (r0 tuple, br) of a (n_rows, Np2) |H|
+    magnitude matrix — the shared geometry of `_band_plan` (single
+    window) and `_band_plan_bank` (five-window max). Rows drop
+    outside-in from each row's peak while the dropped L1 mass stays
+    under `_BAND_EPS_MASS`; starts 8-aligned, one uniform width.
+    Returns None when the band would not pay (> rows0 / 2)."""
     magr = mag.reshape(-1, rows0, f2)
     msum = magr.sum(-1)                                # (n_rows, rows0)
     mmax = magr.max(-1)
@@ -136,6 +119,33 @@ def _band_plan(win_key, n_fft, Np2, modulated):
     if br > rows0 // 2:
         return None
     return tuple(int(v) for v in r0), int(br)
+
+
+@functools.lru_cache(maxsize=8)
+def _band_plan(win_key, n_fft, Np2, modulated):
+    """Per-row banded support of the precomputed filterbank.
+
+    Window spectra are concentrated around each row's center bin, so
+    the stage-1 contraction over the (rows0, f2) spectrum block only
+    needs a contiguous band of rows per STFT row. Rows are dropped
+    outside-in (largest offset from the peak first) while their
+    cumulative L1 mass stays under `_BAND_EPS_MASS` of the row total.
+    Returns ``(r0, br)`` — per-row band starts (multiples of 8, indices
+    into the wrap-extended ``(rows0+br, f2)`` spectrum block) and the
+    uniform band row count — or ``None`` when the band would not pay
+    (more than half the full contraction, e.g. slowly-decaying custom
+    windows)."""
+    from .fft import _factorize
+    factors = _factorize(Np2)
+    if len(factors) != 2:
+        return None
+    f2 = factors[1]
+    rows0 = Np2 // f2
+    H, Hd = _conv_filterbank(win_key, n_fft, Np2, modulated)
+    mag = np.abs(H)
+    if Hd is not None:
+        mag = np.maximum(mag, np.abs(Hd))
+    return _band_geometry(mag, rows0, f2)
 
 
 @functools.lru_cache(maxsize=8)
@@ -267,27 +277,7 @@ def _band_plan_bank(bank_key, n_fft, Np2, modulated):
     n_w = len(_BANK_CACHE[bank_key])
     n_rows = n_fft // 2 + 1
     mag = np.abs(Hre + 1j * Him).reshape(n_w, n_rows, Np2).max(0)
-    magr = mag.reshape(n_rows, rows0, f2)
-    msum = magr.sum(-1)
-    mmax = magr.max(-1)
-    r0 = np.zeros(n_rows, np.int64)
-    br = 8
-    for k in range(n_rows):
-        c = int(mmax[k].argmax())
-        off = ((np.arange(rows0) - c + rows0 // 2) % rows0) - rows0 // 2
-        drop_order = np.argsort(-np.abs(off))
-        cum = np.cumsum(msum[k][drop_order])
-        ndrop = int(np.searchsorted(cum, _BAND_EPS_MASS * cum[-1]))
-        keep_off = off[drop_order[ndrop:]]
-        lo = (c + int(keep_off.min())) % rows0
-        lo8 = (lo // 8) * 8
-        r0[k] = lo8
-        br = max(br, int(keep_off.max() - keep_off.min()) + 1
-                 + (lo - lo8))
-    br = min(-(-br // 8) * 8, rows0)
-    if br > rows0 // 2:
-        return None
-    return tuple(int(v) for v in r0), int(br)
+    return _band_geometry(mag, rows0, f2)
 
 
 @functools.lru_cache(maxsize=8)
@@ -709,15 +699,8 @@ def fsst2_pallas_rows(xh, fs, tables, n_rows, Np2, N_out, sfs, params,
         xim = xhim_r[pl.ds(r0v, br), :]
         tiny_v = jnp.asarray(tiny, xre.dtype)
         inv2pi = jnp.asarray(1.0 / (2 * np.pi), xre.dtype)
-
-        def cmul(a, b):
-            return (a[0] * b[0] - a[1] * b[1],
-                    a[0] * b[1] + a[1] * b[0])
-
-        def cdiv(a, b):
-            d = b[0] * b[0] + b[1] * b[1] + tiny_v
-            return ((a[0] * b[0] + a[1] * b[1]) / d,
-                    (a[1] * b[0] - a[0] * b[1]) / d)
+        from .complexlib import cmul2 as cmul, cdiv2
+        cdiv = lambda a, b: cdiv2(a, b, tiny_v)
 
         def stages(Pre, Pim, h, dot):
             sl = slice(h * hk1, (h + 1) * hk1)

@@ -64,6 +64,8 @@ def collective_heartbeat(mesh, timeout=10.0, _fn_cache={}):
     key = id(mesh)
     fn = _fn_cache.get(key)
     if fn is None:
+        if len(_fn_cache) >= 8:           # bound: meshes are few and
+            _fn_cache.clear()             # long-lived; don't pin stale
         fn = _fn_cache[key] = _heartbeat_fn(mesh)
     import jax.numpy as jnp
     done = threading.Event()
@@ -144,6 +146,7 @@ class HealthMonitor:
         self.beats += 1
         if ok:
             self.failures = 0
+            self.tripped = False          # recovery re-arms the trip
             self.last_latency = dt
         else:
             self.failures += 1

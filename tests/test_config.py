@@ -90,3 +90,20 @@ def test_scatter_tile_knob(monkeypatch):
     assert scatter_tile() == 128
     monkeypatch.setenv('SSQTPU_SCATTER_T', '1024')
     assert scatter_tile() == 1024
+
+
+def test_config_file_malformed_values_skip(tmp_path, monkeypatch):
+    """Review finding: a malformed typed value (or a '%' in a value)
+    must warn-and-skip, never crash get_config()."""
+    from ssqueezepy_tpu import configs as C
+    p = tmp_path / 'config.ini'
+    p.write_text("[global]\ndownsample = four\ndtype = 100%float\n")
+    monkeypatch.setenv('SSQTPU_CONFIG', str(p))
+    old = C._CONFIG
+    try:
+        C._CONFIG = None
+        cfg = C.get_config()             # must not raise
+        assert cfg.downsample == 4       # malformed entry skipped
+        assert cfg.dtype == '100%float'  # '%' passes (no interpolation)
+    finally:
+        C._CONFIG = old

@@ -52,6 +52,13 @@ def test_monitor_trips_after_consecutive_failures():
     seq.append((False, None))
     mon.poll_once()
     assert calls['failed'] == [3]
+    # recovery re-arms: a SECOND outage after a healthy beat must fire
+    # on_failure again (review finding: the trip used to latch forever)
+    seq.extend([(True, 0.02), (False, None), (False, None),
+                (False, None)])
+    for _ in range(4):
+        mon.poll_once()
+    assert calls['failed'] == [3, 3] and mon.tripped
 
 
 def test_monitor_thread_start_stop():
