@@ -127,13 +127,18 @@ def main():
             return lambda: stq.ssq_stft2(x, n_fft=n_fft)
         return lambda: stq.ssq_stft(x, n_fft=n_fft)
 
-    # headline first; then the rest, most-informative first; batched
-    # cells time B transforms per call (recorded per-transform)
-    order = [('ssq_cwt', 160000), ('ssq_cwt', 10000), ('cwt', 160000),
-             ('stft', 160000), ('ssq_stft', 160000), ('cwt', 10000),
-             ('stft', 10000), ('ssq_stft', 10000), ('cwt_b16', 10000),
-             ('ssq_cwt_b4', 160000), ('ssq_cwt_txonly', 160000),
-             ('ssq_cwt2', 160000), ('ssq_stft2', 160000)]
+    # headline first; then the rest, most-informative first (round 5:
+    # with the persistent cache warm, per-cell cost is dominated by the
+    # ~60 s executable load through the tunnel — the driver's 460 s
+    # window fits ~7 cells, so the headline-class cells go first and
+    # the dispatch-bound 10k cells last); batched cells time B
+    # transforms per call (recorded per-transform)
+    order = [('ssq_cwt', 160000), ('ssq_stft', 160000),
+             ('ssq_cwt2', 160000), ('ssq_stft2', 160000),
+             ('ssq_cwt_txonly', 160000), ('ssq_cwt_b4', 160000),
+             ('cwt', 160000), ('stft', 160000), ('cwt_b16', 10000),
+             ('ssq_cwt', 10000), ('ssq_stft', 10000), ('cwt', 10000),
+             ('stft', 10000)]
     sweep = {}
     headline = None
     # HARD per-cell guard: a fresh remote compile costs 2-5 min, so a
