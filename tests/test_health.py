@@ -97,3 +97,22 @@ def test_streaming_checkpoint_resume():
         assert np.array_equal(np.asarray(wa.re), np.asarray(wb.re))
     fa, fb = a.finalize(), b.finalize()
     assert np.array_equal(np.asarray(fa[0].re), np.asarray(fb[0].re))
+
+
+def test_streaming_stft_checkpoint_resume():
+    """state_dict/load_state on the STFT streaming plan (the CWT one is
+    covered above): bit-identical continuation."""
+    from ssqueezepy_tpu.streaming import StreamingSSQSTFT
+    chunk = 512
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(2048).astype(np.float32)
+    a = StreamingSSQSTFT(chunk, n_fft=128, dtype='float32')
+    for i in range(2):
+        a.process(x[i * chunk:(i + 1) * chunk])
+    snap = a.state_dict()
+    b = StreamingSSQSTFT(chunk, n_fft=128, dtype='float32')
+    b.load_state(snap)
+    for i in range(2, 4):
+        ta, _ = a.process(x[i * chunk:(i + 1) * chunk])
+        tb, _ = b.process(x[i * chunk:(i + 1) * chunk])
+        assert np.array_equal(np.asarray(ta.re), np.asarray(tb.re))

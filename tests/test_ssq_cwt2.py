@@ -227,3 +227,23 @@ def test_wsst2_fused_pallas_routes_and_matches():
         assert np.abs(Tx_x.sum(-2) - Tx_c.sum(-2)).max() / m < 1e-4
         e_x, e_c = np.abs(Tx_x).sum(), np.abs(Tx_c).sum()
         assert abs(e_x - e_c) / e_c < 0.02
+
+
+def test_wsst2_flipud_row_contract():
+    """flipud only reverses Tx's row order (k -> omax - k); the returned
+    ssq_freqs grid is ALWAYS reversed for CWT (the reference's own rule,
+    ssqueezing.py:217-222: flips when `(cwt and not flipud) or flipud`).
+    f64 so no bin-boundary flips muddy the row-reversal equality."""
+    N = 1024
+    n = np.arange(N)
+    x = np.cos(2 * np.pi * (0.03 * n + 0.1 / (2 * N) * n ** 2)) \
+        .astype(np.float64)
+    wav = ('gmw', {'dtype': 'float64'})
+    Tx_a, _, fr_a, _ = stq.ssq_cwt2(x, wav, nv=8, flipud=True,
+                                    astensor=False)
+    Tx_b, _, fr_b, _ = stq.ssq_cwt2(x, wav, nv=8, flipud=False,
+                                    astensor=False)
+    assert np.allclose(fr_a, fr_b)
+    m = np.abs(Tx_b).max()
+    assert np.abs(Tx_a - Tx_b[::-1]).max() / m < 1e-9
+    assert np.abs(Tx_a.sum(-2) - Tx_b.sum(-2)).max() / m < 1e-9
