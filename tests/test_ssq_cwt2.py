@@ -247,3 +247,18 @@ def test_wsst2_flipud_row_contract():
     m = np.abs(Tx_b).max()
     assert np.abs(Tx_a - Tx_b[::-1]).max() / m < 1e-9
     assert np.abs(Tx_a.sum(-2) - Tx_b.sum(-2)).max() / m < 1e-9
+
+
+@pytest.mark.parametrize('padtype', ['reflect', 'zero', 'symmetric'])
+@pytest.mark.parametrize('dtype', ['float32', 'float64'])
+def test_wsst2_padtype_dtype_grid(padtype, dtype):
+    """Order-2 option mini-grid: every padtype x dtype plan must build,
+    run finite, and reconstruct (the first-order option grid's analog
+    for WSST2)."""
+    N = 2048
+    x = _chirp(N, 0.04, 0.1 / N, np.dtype(dtype).type)
+    Tx, Wx, fr, sc = stq.ssq_cwt2(x, ('gmw', {'dtype': dtype}),
+                                  padtype=padtype, astensor=False)
+    assert np.isfinite(np.abs(Tx)).all() and np.isfinite(np.abs(Wx)).all()
+    err = stq.toolkit.mad_rms(x, np.asarray(stq.issq_cwt(Tx)))
+    assert err < 0.12, (padtype, dtype, err)
